@@ -1,0 +1,153 @@
+"""Huffman (HUF) literal coding: weight parse, table build, 1/4-stream decode.
+
+Implements RFC 8878 §4.2: canonical prefix codes described by weights
+(``nb_bits = max_bits + 1 - weight``), transmitted either as direct 4-bit
+nibbles or FSE-compressed; decoding via a single-level table indexed by the
+top ``max_bits`` bits of a backward bitstream. Replaces libzstd's HUF engine
+(reference dependency, SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..errors import corruption_detected
+from .bitstream import BackwardBitReader
+from .fse import fse_decompress
+
+HUF_MAX_BITS = 11  # zstd caps literal code length at 11 bits
+HUF_MAX_SYMBOLS = 256
+
+
+@dataclass
+class HufDecodeTable:
+    max_bits: int
+    symbol: np.ndarray  # uint8[2**max_bits]
+    nb_bits: np.ndarray  # uint8[2**max_bits]
+    weights: np.ndarray  # uint8[num_symbols] (for re-serialization/debug)
+
+
+def read_weights(data: bytes):
+    """Parse the Huffman tree description (RFC 8878 §4.2.1).
+
+    Returns ``(weights, bytes_consumed)``; the implied last weight is
+    appended by ``build_decode_table``.
+    """
+    if not data:
+        raise corruption_detected("empty Huffman tree description")
+    header = data[0]
+    if header >= 128:
+        # Direct representation: (header - 127) weights, 4 bits each.
+        n = header - 127
+        nbytes = (n + 1) // 2
+        if len(data) < 1 + nbytes:
+            raise corruption_detected("truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, 1 + nbytes
+    # FSE-compressed: `header` bytes of FSE stream, max accuracy log 6.
+    if len(data) < 1 + header:
+        raise corruption_detected("truncated FSE Huffman weights")
+    weights = fse_decompress(data[1 : 1 + header], 15, 6, 255)
+    return weights, 1 + header
+
+
+def build_decode_table(weights) -> HufDecodeTable:
+    """Build the flat decode table, deriving the implied final weight
+    (RFC 8878 §4.2.1.1)."""
+    if any(w > HUF_MAX_BITS for w in weights):
+        raise corruption_detected("Huffman weight too large")
+    total = sum((1 << w) >> 1 for w in weights)
+    if total == 0:
+        raise corruption_detected("Huffman weights all zero")
+    max_bits = total.bit_length()  # log2 of next power of two above total
+    left = (1 << max_bits) - total
+    # The last symbol's contribution must complete a power of two.
+    if left & (left - 1):
+        raise corruption_detected("Huffman weights do not sum to a power of two")
+    last_weight = left.bit_length()  # log2(left) + 1
+    weights = list(weights) + [last_weight]
+    if max_bits > HUF_MAX_BITS:
+        raise corruption_detected("Huffman table log too large")
+    if len(weights) > HUF_MAX_SYMBOLS:
+        raise corruption_detected("too many Huffman symbols")
+
+    size = 1 << max_bits
+    symbol = np.zeros(size, dtype=np.uint8)
+    nb = np.zeros(size, dtype=np.uint8)
+
+    # Symbols sorted by weight (ascending), then symbol order: each occupies
+    # 2**(w-1) consecutive cells starting at its rank position.
+    rank_count = [0] * (HUF_MAX_BITS + 2)
+    for w in weights:
+        rank_count[w] += 1
+    rank_start = [0] * (HUF_MAX_BITS + 2)
+    pos = 0
+    for w in range(1, HUF_MAX_BITS + 2):
+        rank_start[w] = pos
+        pos += rank_count[w] << (w - 1)
+    if pos != size:
+        raise corruption_detected("Huffman table fill mismatch")
+
+    for s, w in enumerate(weights):
+        if w == 0:
+            continue
+        length = 1 << (w - 1)
+        start = rank_start[w]
+        symbol[start : start + length] = s
+        nb[start : start + length] = max_bits + 1 - w
+        rank_start[w] += length
+
+    return HufDecodeTable(max_bits, symbol, nb, np.array(weights, dtype=np.uint8))
+
+
+def decode_stream(table: HufDecodeTable, data: bytes, out_len: int) -> bytes:
+    """Decode one backward Huffman bitstream to exactly ``out_len`` bytes."""
+    br = BackwardBitReader(data)
+    max_bits = table.max_bits
+    symbol = table.symbol
+    nb = table.nb_bits
+    out = bytearray(out_len)
+    rem = br.remaining
+    for i in range(out_len):
+        idx = br.read(max_bits)
+        n = int(nb[idx])
+        br.remaining += max_bits - n  # consume only nb bits of the peek
+        out[i] = int(symbol[idx])
+    if br.remaining != 0:
+        raise corruption_detected(
+            f"Huffman stream not fully consumed ({br.remaining} bits left of {rem})"
+        )
+    return bytes(out)
+
+
+def decode_1stream(table: HufDecodeTable, data: bytes, regenerated_size: int) -> bytes:
+    return decode_stream(table, data, regenerated_size)
+
+
+def decode_4stream(table: HufDecodeTable, data: bytes, regenerated_size: int) -> bytes:
+    """Decode the 4-stream layout: 6-byte jump table then four independent
+    backward streams (RFC 8878 §4.2.2)."""
+    if len(data) < 6:
+        raise corruption_detected("4-stream literals too short")
+    s1 = int.from_bytes(data[0:2], "little")
+    s2 = int.from_bytes(data[2:4], "little")
+    s3 = int.from_bytes(data[4:6], "little")
+    total = len(data) - 6
+    s4 = total - s1 - s2 - s3
+    if s4 < 0:
+        raise corruption_detected("4-stream jump table exceeds payload")
+    seg = (regenerated_size + 3) // 4
+    last = regenerated_size - 3 * seg
+    if last < 0:
+        raise corruption_detected("regenerated size too small for 4 streams")
+    off = 6
+    parts = []
+    for size, olen in ((s1, seg), (s2, seg), (s3, seg), (s4, last)):
+        parts.append(decode_stream(table, data[off : off + size], olen))
+        off += size
+    return b"".join(parts)
