@@ -104,9 +104,12 @@ class CompressState:
     prefix+data window, repeat-offset history, and carried entropy tables."""
 
     def __init__(self, data: bytes, prefix: bytes, level: int):
+        from .match import params_for_level
+
         self.prefix_len = len(prefix)
         self.window = prefix + data  # match search space
         self.level = level
+        self.params = params_for_level(level)
         self.rep_offsets = (1, 4, 8)
         self.huf_table = None  # carried for treeless-literal reuse
         self.match_state = None  # carried hash tables across blocks

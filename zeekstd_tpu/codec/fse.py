@@ -202,3 +202,267 @@ def fse_decompress(data: bytes, max_symbol: int, max_accuracy_log: int, max_out:
     if len(out) > max_out:
         raise corruption_detected("FSE output exceeds limit")
     return out
+
+
+# --- encoding side -------------------------------------------------------
+
+
+@dataclass
+class FseEncodeTable:
+    """Encoding table: per-symbol transform + state transition table."""
+
+    accuracy_log: int
+    delta_nb_bits: np.ndarray  # int32[num_symbols]
+    delta_find_state: np.ndarray  # int32[num_symbols]
+    state_table: np.ndarray  # uint16[size]
+    norm: list  # normalized counts (for serialization)
+
+    @property
+    def size(self) -> int:
+        return 1 << self.accuracy_log
+
+
+def optimal_table_log(max_log: int, total: int, max_symbol: int) -> int:
+    """Heuristic accuracy log, mirroring FSE_optimalTableLog's shape."""
+    log = (total - 1).bit_length() - 2 if total > 1 else 1
+    min_bits_symbols = (max_symbol + 1).bit_length() + 1
+    log = max(log, 5)
+    log = min(log, max_log)
+    log = max(log, min(min_bits_symbols, max_log))
+    return max(log, 5)
+
+
+def normalize_counts(counts, table_log: int, total: int, max_symbol: int):
+    """Normalize a histogram to sum to 2**table_log, assigning -1 to present
+    symbols whose probability rounds below 1 (RFC 8878 'less than 1')."""
+    size = 1 << table_log
+    norm = [0] * (max_symbol + 1)
+    # Low-probability threshold, like libzstd's lowThreshold = total >> tableLog.
+    low_threshold = total >> table_log
+    distributed = 0
+    rest_total = 0
+    for s in range(max_symbol + 1):
+        c = counts[s]
+        if c == 0:
+            continue
+        if c <= low_threshold:
+            norm[s] = -1
+            distributed += 1
+        else:
+            rest_total += c
+    remaining_slots = size - distributed
+    if remaining_slots <= 0 or rest_total == 0:
+        # Degenerate: give every present symbol one slot, largest gets rest.
+        present = [s for s in range(max_symbol + 1) if counts[s] > 0]
+        norm = [0] * (max_symbol + 1)
+        for s in present:
+            norm[s] = 1
+        largest = max(present, key=lambda s: counts[s])
+        norm[largest] += size - len(present)
+        return norm
+    # Largest-remainder apportionment of remaining_slots over the big symbols.
+    shares = []
+    assigned = 0
+    for s in range(max_symbol + 1):
+        if norm[s] == -1 or counts[s] == 0:
+            continue
+        exact = counts[s] * remaining_slots / rest_total
+        base = max(int(exact), 1)
+        shares.append((exact - base, s))
+        norm[s] = base
+        assigned += base
+    # Fix the sum: add leftovers to largest remainders, or strip from the
+    # smallest-impact symbols if over-assigned.
+    leftover = remaining_slots - assigned
+    if leftover > 0:
+        shares.sort(reverse=True)
+        i = 0
+        while leftover > 0:
+            _, s = shares[i % len(shares)]
+            norm[s] += 1
+            leftover -= 1
+            i += 1
+    elif leftover < 0:
+        order = sorted((s for _, s in shares), key=lambda s: counts[s])
+        i = 0
+        guard = 0
+        while leftover < 0:
+            s = order[i % len(order)]
+            if norm[s] > 1:
+                norm[s] -= 1
+                leftover += 1
+            i += 1
+            guard += 1
+            if guard > 10_000:
+                raise corruption_detected("normalization failed to converge")
+    return norm
+
+
+def build_encode_table(norm, accuracy_log: int) -> FseEncodeTable:
+    """Canonical FSE encode-table construction (mirror of the decode spread)."""
+    size = 1 << accuracy_log
+    max_symbol = len(norm) - 1
+
+    # Symbol spread, identical to the decoder's.
+    table_symbol = np.zeros(size, dtype=np.int32)
+    high_threshold = size - 1
+    for s, n in enumerate(norm):
+        if n == -1:
+            table_symbol[high_threshold] = s
+            high_threshold -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, n in enumerate(norm):
+        if n <= 0:
+            continue
+        for _ in range(n):
+            table_symbol[pos] = s
+            pos = (pos + step) & mask
+            while pos > high_threshold:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise corruption_detected("FSE table spread did not return to zero")
+
+    # cumul[s] = first state slot owned by symbol s (in sorted-state order).
+    cumul = np.zeros(max_symbol + 2, dtype=np.int32)
+    for s, n in enumerate(norm):
+        cumul[s + 1] = cumul[s] + (1 if n == -1 else n)
+
+    # state_table: scanning table positions in order assigns each symbol its
+    # states in increasing order; stored value is position + size.
+    state_table = np.zeros(size, dtype=np.uint16)
+    fill = cumul[: max_symbol + 1].copy()
+    for position in range(size):
+        s = int(table_symbol[position])
+        state_table[fill[s]] = position + size
+        fill[s] += 1
+
+    delta_nb = np.zeros(max_symbol + 1, dtype=np.int64)
+    delta_fs = np.zeros(max_symbol + 1, dtype=np.int64)
+    total = 0
+    for s, n in enumerate(norm):
+        if n == 0:
+            delta_nb[s] = ((accuracy_log + 1) << 16) - size
+        elif n in (1, -1):
+            delta_nb[s] = (accuracy_log << 16) - size
+            delta_fs[s] = total - 1
+            total += 1
+        else:
+            max_bits_out = accuracy_log - ((n - 1).bit_length() - 1)
+            min_state_plus = n << max_bits_out
+            delta_nb[s] = (max_bits_out << 16) - min_state_plus
+            delta_fs[s] = total - n
+            total += n
+    return FseEncodeTable(accuracy_log, delta_nb, delta_fs, state_table, list(norm))
+
+
+class FseEncState:
+    """One encoding state; symbols are fed in reverse stream order."""
+
+    def __init__(self, table: FseEncodeTable, first_symbol: int):
+        # Canonical zero-bit initialization for the chain's last symbol.
+        t = table
+        nb = (int(t.delta_nb_bits[first_symbol]) + (1 << 15)) >> 16
+        value = (nb << 16) - int(t.delta_nb_bits[first_symbol])
+        self.table = t
+        self.state = int(t.state_table[(value >> nb) + int(t.delta_find_state[first_symbol])])
+
+    def encode(self, bw, symbol: int) -> None:
+        t = self.table
+        nb = (self.state + int(t.delta_nb_bits[symbol])) >> 16
+        bw.add(self.state, nb)
+        self.state = int(
+            t.state_table[(self.state >> nb) + int(t.delta_find_state[symbol])]
+        )
+
+    def flush(self, bw) -> None:
+        bw.add(self.state, self.table.accuracy_log)
+
+
+def write_ncount(norm, accuracy_log: int) -> bytes:
+    """Serialize normalized counts as an FSE table description
+    (inverse of read_ncount; RFC 8878 §4.1.1)."""
+    from .bitstream import BitWriter
+
+    bw = BitWriter()
+    bw.add(accuracy_log - 5, 4)
+    size = 1 << accuracy_log
+    remaining = size + 1
+    threshold = size
+    nb_bits = accuracy_log + 1
+    i = 0
+    while remaining > 1:
+        if i >= len(norm):
+            raise corruption_detected("write_ncount: counts exhausted early")
+        count = norm[i]
+        stored = count + 1  # -1 encodes as 0
+        maxv = (2 * threshold - 1) - remaining
+        if stored < maxv:
+            bw.add(stored, nb_bits - 1)
+        else:
+            val = stored if stored < threshold else stored + maxv
+            bw.add(val, nb_bits)
+        remaining -= -count if count < 0 else count
+        i += 1
+        if count == 0 and remaining > 1:
+            # 2-bit runs describing how many further zeros follow; a field
+            # value of 3 means "3 zeros, then another field".
+            run = 0
+            while i + run < len(norm) and norm[i + run] == 0:
+                run += 1
+            i += run
+            while run >= 3:
+                bw.add(3, 2)
+                run -= 3
+            bw.add(run, 2)
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise corruption_detected("write_ncount: counts do not sum to table size")
+    return bw.bytes_no_finish()
+
+
+def fse_compress(symbols, max_symbol: int, max_log: int):
+    """Compress a short symbol sequence with two interleaved states and an
+    embedded table description (the Huffman-weights transport,
+    RFC 8878 §4.2.1.2). Returns the payload or None when not beneficial."""
+    from .bitstream import BitWriter
+
+    n = len(symbols)
+    if n <= 1:
+        return None
+    counts = [0] * (max_symbol + 1)
+    for s in symbols:
+        counts[s] += 1
+    if max(counts) == n:
+        return None  # single-symbol: FSE table would be degenerate
+    log = optimal_table_log(max_log, n, max_symbol)
+    norm = normalize_counts(counts, log, n, max_symbol)
+    table = build_encode_table(norm, log)
+    desc = write_ncount(norm, log)
+
+    bw = BitWriter()
+    # Two chains: state1 decodes symbols 0,2,4..., state2 decodes 1,3,5....
+    # Symbols are encoded in reverse; the decoder's break-on-overflow tail
+    # emits each chain's final symbol straight from its initial state.
+    chain1 = symbols[0::2]
+    chain2 = symbols[1::2]
+    m1, m2 = len(chain1), len(chain2)
+    if n % 2:
+        s1 = FseEncState(table, chain1[-1])
+        s2 = FseEncState(table, chain2[-1])
+        s1.encode(bw, chain1[m1 - 2])  # odd count: one unpaired chain1 write
+        top = m2 - 1
+    else:
+        s2 = FseEncState(table, chain2[-1])
+        s1 = FseEncState(table, chain1[-1])
+        top = m1 - 1
+    for r in range(top - 1, -1, -1):
+        s2.encode(bw, chain2[r])
+        s1.encode(bw, chain1[r])
+    s2.flush(bw)
+    s1.flush(bw)
+    payload = desc + bw.finish()
+    return payload

@@ -151,3 +151,164 @@ def decode_4stream(table: HufDecodeTable, data: bytes, regenerated_size: int) ->
         parts.append(decode_stream(table, data[off : off + size], olen))
         off += size
     return b"".join(parts)
+
+
+# --- encoding side -------------------------------------------------------
+
+
+def package_merge_lengths(freqs, max_len: int = HUF_MAX_BITS):
+    """Optimal length-limited code lengths via package-merge.
+
+    ``freqs``: dict or sequence of (symbol -> count), only present symbols.
+    Returns {symbol: code_length}; the resulting code is complete
+    (Kraft sum == 1), as the zstd weight scheme requires.
+    """
+    syms = [(c, s) for s, c in freqs.items() if c > 0]
+    if len(syms) == 1:
+        return {syms[0][1]: 1}
+    if (1 << max_len) < len(syms):
+        raise corruption_detected("too many symbols for max code length")
+    originals = sorted(syms)
+    prev = []
+    for _ in range(max_len):
+        # Package pairs from the previous level, then merge with originals.
+        packages = [
+            (prev[i][0] + prev[i + 1][0], prev[i][1] + prev[i + 1][1])
+            for i in range(0, len(prev) - 1, 2)
+        ]
+        cur = []
+        items = [(c, (s,)) for c, s in originals]
+        ai = pi = 0
+        while ai < len(items) or pi < len(packages):
+            if pi >= len(packages) or (
+                ai < len(items) and items[ai][0] <= packages[pi][0]
+            ):
+                cur.append(items[ai])
+                ai += 1
+            else:
+                cur.append(packages[pi])
+                pi += 1
+        prev = cur
+    chosen = prev[: 2 * len(syms) - 2]
+    lengths = {s: 0 for _, s in syms}
+    for _, group in chosen:
+        for s in group:
+            lengths[s] += 1
+    return lengths
+
+
+def build_encode_table(weights_by_symbol):
+    """Canonical code assignment consistent with ``build_decode_table``:
+    symbols sorted by (weight asc, symbol asc); code = cell_start >> (w-1).
+
+    ``weights_by_symbol``: uint8 array over 0..max_symbol (0 = absent).
+    Returns (codes, nb_bits, max_bits).
+    """
+    weights = list(weights_by_symbol)
+    max_w = max(weights)
+    total = sum((1 << w) >> 1 for w in weights)
+    max_bits = (total - 1).bit_length() if total & (total - 1) else total.bit_length() - 1
+    if (1 << max_bits) != total:
+        raise corruption_detected("encode weights must form a complete code")
+
+    rank_start = [0] * (max_w + 2)
+    rank_count = [0] * (max_w + 2)
+    for w in weights:
+        rank_count[w] += 1
+    pos = 0
+    for w in range(1, max_w + 1):
+        rank_start[w] = pos
+        pos += rank_count[w] << (w - 1)
+
+    n = len(weights)
+    codes = [0] * n
+    nb = [0] * n
+    fill = list(rank_start)
+    for s, w in enumerate(weights):
+        if w == 0:
+            continue
+        codes[s] = fill[w] >> (w - 1)
+        nb[s] = max_bits + 1 - w
+        fill[w] += 1 << (w - 1)
+    import numpy as np  # local to keep module import light
+
+    return np.array(codes, dtype=np.uint32), np.array(nb, dtype=np.uint8), max_bits
+
+
+def lengths_to_weights(lengths, max_symbol: int):
+    """Convert code lengths to the zstd weight array over 0..max_symbol."""
+    max_len = max(lengths.values())
+    weights = [0] * (max_symbol + 1)
+    for s, ln in lengths.items():
+        if ln:
+            weights[s] = max_len + 1 - ln
+    return weights
+
+
+def write_weights(weights) -> bytes:
+    """Serialize weights (RFC 8878 §4.2.1): FSE-compressed when smaller,
+    else direct 4-bit nibbles. The last present symbol's weight is implied."""
+    from .fse import fse_compress, fse_decompress
+
+    last = max(s for s, w in enumerate(weights) if w > 0)
+    emitted = list(weights[:last])  # weight of `last` is implied
+    if not emitted:
+        raise corruption_detected("cannot serialize single-symbol Huffman table")
+
+    direct_n = len(emitted)
+    direct = None
+    if direct_n <= 128:  # direct header byte is 127 + n, capped at 255
+        direct = bytearray([127 + direct_n])
+        for i in range(0, direct_n, 2):
+            hi = emitted[i] << 4
+            lo = emitted[i + 1] if i + 1 < direct_n else 0
+            direct.append(hi | lo)
+
+    if direct_n > 1:
+        payload = fse_compress(emitted, 15, 6)
+        if (
+            payload is not None
+            and len(payload) < 128
+            and (direct is None or len(payload) + 1 < len(direct))
+        ):
+            # Self-check: the implied-length decode must reproduce exactly.
+            try:
+                back = fse_decompress(payload, 15, 6, 255)
+            except Exception:
+                back = None
+            if back == emitted:
+                return bytes([len(payload)]) + payload
+    if direct is None:
+        raise corruption_detected("Huffman weights not serializable")
+    return bytes(direct)
+
+
+def encode_stream(data, codes, nb) -> bytes:
+    """Encode one literal run as a backward Huffman bitstream."""
+    from .bitstream import BitWriter
+
+    bw = BitWriter()
+    for b in reversed(data):
+        bw.add(int(codes[b]), int(nb[b]))
+    return bw.finish()
+
+
+def compress_literals_1stream(data, codes, nb) -> bytes:
+    return encode_stream(data, codes, nb)
+
+
+def compress_literals_4stream(data, codes, nb):
+    """Encode the 4-stream layout; returns payload or None if a stream's
+    size field would overflow its u16."""
+    n = len(data)
+    seg = (n + 3) // 4
+    parts = [
+        encode_stream(data[0:seg], codes, nb),
+        encode_stream(data[seg : 2 * seg], codes, nb),
+        encode_stream(data[2 * seg : 3 * seg], codes, nb),
+        encode_stream(data[3 * seg :], codes, nb),
+    ]
+    if any(len(p) > 0xFFFF for p in parts[:3]):
+        return None
+    jump = b"".join(len(p).to_bytes(2, "little") for p in parts[:3])
+    return jump + b"".join(parts)

@@ -1,0 +1,251 @@
+"""LZ77 match finding: greedy/lazy hash-chain search with repeat-offset
+awareness.
+
+Replaces libzstd's match finders for the level range the reference exposes
+(1..19, reference: cli/src/args.rs:191-193). Strategy is level-scaled chain
+depth + lazy evaluation, tuned so that compressed size at a given level is
+at or below libzstd's at the same level (BASELINE.md target) — the format,
+not the search heuristics, is what fixes compatibility.
+
+The TPU-parallel counterpart of this module lives in
+``zeekstd_tpu.ops.match_tpu`` (hash-bucket candidate gathering on device).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MIN_MATCH = 4
+HASH_LOG = 17
+
+
+@dataclass
+class Sequence:
+    ll: int
+    ml: int
+    offset_value: int  # >3: offset+3; 1..3: repeat codes
+
+
+@dataclass
+class MatchParams:
+    depth: int  # hash-chain search depth
+    lazy: int  # 0 = greedy, 1 = one-step lazy, 2 = two-step
+    hash_bytes: int = 4  # bytes hashed per table entry (longer = fewer, longer matches)
+
+
+def params_for_level(level: int) -> MatchParams:
+    if level <= 1:
+        return MatchParams(depth=2, lazy=0, hash_bytes=6)
+    if level <= 2:
+        return MatchParams(depth=4, lazy=0, hash_bytes=6)
+    if level <= 3:
+        return MatchParams(depth=8, lazy=0, hash_bytes=6)
+    if level <= 4:
+        return MatchParams(depth=16, lazy=0, hash_bytes=5)
+    if level <= 6:
+        return MatchParams(depth=32, lazy=1, hash_bytes=5)
+    if level <= 9:
+        return MatchParams(depth=64, lazy=1, hash_bytes=5)
+    if level <= 12:
+        return MatchParams(depth=128, lazy=2, hash_bytes=4)
+    if level <= 16:
+        return MatchParams(depth=256, lazy=2, hash_bytes=4)
+    return MatchParams(depth=512, lazy=2, hash_bytes=4)
+
+
+class MatchState:
+    """Hash-chain state persisting across blocks of one frame."""
+
+    def __init__(self, window_len: int):
+        self.head = np.full(1 << HASH_LOG, -1, dtype=np.int64)
+        self.chain = np.full(window_len, -1, dtype=np.int64)
+        self.filled_to = 0
+
+
+def _hash4(v: int) -> int:
+    return ((v * 2654435761) & 0xFFFFFFFF) >> (32 - HASH_LOG)
+
+
+_HASH_PRIME64 = 0xCF1BBCDCB7A56463
+
+
+def _hash_n(data, p: int, nbytes: int) -> int:
+    v = int.from_bytes(data[p : p + nbytes], "little")
+    return ((v * _HASH_PRIME64) & 0xFFFFFFFFFFFFFFFF) >> (64 - HASH_LOG)
+
+
+def hash_positions(data: bytes, start: int, end: int, nbytes: int) -> np.ndarray:
+    """Vectorized hash of every position in [start, end): the host-side twin
+    of the TPU hashing kernel in ``zeekstd_tpu.ops``."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    v = np.zeros(end - start, dtype=np.uint64)
+    for k in range(nbytes):
+        v |= arr[start + k : end + k] << np.uint64(8 * k)
+    return ((v * np.uint64(_HASH_PRIME64)) >> np.uint64(64 - HASH_LOG)).astype(np.int64)
+
+
+def bulk_insert(state: "MatchState", data: bytes, start: int, end: int, nbytes: int) -> None:
+    """Insert positions [start, end) into the hash chains in order, as if
+    ``insert`` had been called per position (vectorized grouping by hash)."""
+    end = min(end, len(data) - nbytes + 1)
+    if end <= start:
+        return
+    hs = hash_positions(data, start, end, nbytes)
+    pos = np.arange(start, end, dtype=np.int64)
+    order = np.argsort(hs, kind="stable")
+    hs_sorted = hs[order]
+    pos_sorted = pos[order]
+    same_h = np.empty(len(order), dtype=bool)
+    same_h[0] = False
+    same_h[1:] = hs_sorted[1:] == hs_sorted[:-1]
+    prev = np.where(same_h, np.concatenate(([0], pos_sorted[:-1])), -1)
+    # Chain to the previous same-hash position; group heads link to the
+    # pre-existing chain head for that hash.
+    group_start = ~same_h
+    prev[group_start] = state.head[hs_sorted[group_start]]
+    state.chain[pos_sorted] = prev
+    # Heads become the last (largest) position of each group.
+    last_of_group = np.empty(len(order), dtype=bool)
+    last_of_group[:-1] = hs_sorted[1:] != hs_sorted[:-1]
+    last_of_group[-1] = True
+    state.head[hs_sorted[last_of_group]] = pos_sorted[last_of_group]
+    state.filled_to = end
+
+
+def encode_offset(offset: int, ll: int, reps):
+    """Map an actual offset to its offset_value given the repeat history,
+    mirroring the decoder's rules (RFC 8878 §3.1.1.3.2.1.1); returns
+    (offset_value, new_reps)."""
+    r1, r2, r3 = reps
+    if ll != 0:
+        if offset == r1:
+            return 1, (r1, r2, r3)
+        if offset == r2:
+            return 2, (r2, r1, r3)
+        if offset == r3:
+            return 3, (r3, r1, r2)
+    else:
+        if offset == r2:
+            return 1, (r2, r1, r3)  # ll==0 shifts the repeat index by one
+        if offset == r3:
+            return 2, (r3, r1, r2)
+        if offset == r1 - 1 and offset != 0:
+            return 3, (offset, r1, r2)
+    return offset + 3, (offset, r1, r2)
+
+
+def find_sequences(window: bytes, start: int, end: int, params: MatchParams, state: MatchState, reps):
+    """Greedy/lazy parse of window[start:end] (history = window[:start]).
+
+    Returns (sequences, literals, new_reps). ``reps`` mirrors the decoder's
+    repeat-offset state entering the block.
+    """
+    seqs: list[Sequence] = []
+    literals = bytearray()
+    head = state.head
+    chain = state.chain
+    depth = params.depth
+    lazy = params.lazy
+
+    data = window
+    n = end
+    anchor = start
+    pos = start
+    cur_reps = reps
+    hb = params.hash_bytes
+
+    def match_len_at(a: int, b: int, limit: int) -> int:
+        # Length of common prefix of data[a:], data[b:], capped at limit.
+        l = 0
+        while l + 8 <= limit and data[a + l : a + l + 8] == data[b + l : b + l + 8]:
+            l += 8
+        while l < limit and data[a + l] == data[b + l]:
+            l += 1
+        return l
+
+    def insert(p: int) -> None:
+        h = _hash_n(data, p, hb)
+        chain[p] = head[h]
+        head[h] = p
+
+    def best_match(p: int):
+        """Best (length, offset) at p, or (0, 0)."""
+        limit = n - p
+        if limit < MIN_MATCH:
+            return 0, 0
+        best_len, best_off = 0, 0
+        # Repeat-offset probe first (cheap and common).
+        r1 = cur_reps[0]
+        if p - r1 >= 0 and data[p : p + 4] == data[p - r1 : p - r1 + 4]:
+            l = match_len_at(p, p - r1, limit)
+            best_len, best_off = l, r1
+        h = _hash_n(data, p, hb)
+        cand = head[h]
+        tries = depth
+        while cand >= 0 and tries > 0:
+            c = int(cand)
+            if c >= p:  # self or future position (already inserted)
+                cand = chain[c]
+                continue
+            if data[p : p + 4] == data[c : c + 4]:
+                l = match_len_at(p, c, limit)
+                # Prefer longer; on ties prefer smaller offset.
+                if l > best_len:
+                    best_len, best_off = l, p - c
+            cand = chain[c]
+            tries -= 1
+        if best_len < MIN_MATCH:
+            return 0, 0
+        # Cost gate: a short far match can cost more than its literals
+        # (~6 bits/literal vs ~12 bits + offset bits per sequence).
+        if best_off != cur_reps[0] and 6 * best_len < 14 + best_off.bit_length():
+            return 0, 0
+        return best_len, best_off
+
+    insert_limit = n - hb + 1
+    while pos < n - MIN_MATCH + 1:
+        if pos >= insert_limit:
+            pos += 1
+            continue
+        insert(pos)
+        mlen, moff = best_match(pos)
+        if mlen == 0:
+            pos += 1
+            continue
+
+        # Lazy evaluation: peek ahead, prefer a strictly better later match.
+        steps = lazy
+        while steps > 0 and pos + 1 < insert_limit:
+            insert(pos + 1)
+            nlen, noff = best_match(pos + 1)
+            if nlen >= mlen + 1:
+                pos += 1
+                mlen, moff = nlen, noff
+                steps -= 1
+            else:
+                break
+
+        # Extend backwards into pending literals.
+        while pos > anchor and pos - moff > 0 and data[pos - 1] == data[pos - moff - 1]:
+            pos -= 1
+            mlen += 1
+
+        ll = pos - anchor
+        literals += data[anchor:pos]
+        offset_value, cur_reps = encode_offset(moff, ll, cur_reps)
+        seqs.append(Sequence(ll, mlen, offset_value))
+
+        # Index interior positions sparsely to bound cost.
+        stride = 1 if mlen < 64 else 2
+        p = pos + 1
+        stop = min(pos + mlen, insert_limit)
+        while p < stop:
+            insert(p)
+            p += stride
+        pos += mlen
+        anchor = pos
+
+    literals += data[anchor:n]
+    return seqs, bytes(literals), cur_reps

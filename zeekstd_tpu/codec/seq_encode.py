@@ -1,0 +1,171 @@
+"""Sequences-section encoding: code mapping, table-mode selection, and the
+interleaved three-state FSE bitstream (inverse of ``sequences.py``)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import corruption_detected
+from .bitstream import BitWriter
+from .fse import (
+    FseEncState,
+    build_encode_table,
+    normalize_counts,
+    optimal_table_log,
+    write_ncount,
+)
+from .sequences import (
+    LL_BASE,
+    LL_BITS,
+    LL_DEFAULT_LOG,
+    LL_DEFAULT_NORM,
+    LL_MAX_LOG,
+    MAX_LL_CODE,
+    MAX_ML_CODE,
+    MAX_OFFSET_CODE,
+    ML_BASE,
+    ML_BITS,
+    ML_DEFAULT_LOG,
+    ML_DEFAULT_NORM,
+    ML_MAX_LOG,
+    MODE_FSE,
+    MODE_PREDEFINED,
+    MODE_RLE,
+    OF_DEFAULT_LOG,
+    OF_DEFAULT_NORM,
+    OF_MAX_LOG,
+)
+
+_DEFAULT_ENC_TABLES = {}
+
+
+def _default_enc_table(category: str):
+    if category not in _DEFAULT_ENC_TABLES:
+        norm, log = {
+            "ll": (LL_DEFAULT_NORM, LL_DEFAULT_LOG),
+            "ml": (ML_DEFAULT_NORM, ML_DEFAULT_LOG),
+            "of": (OF_DEFAULT_NORM, OF_DEFAULT_LOG),
+        }[category]
+        _DEFAULT_ENC_TABLES[category] = build_encode_table(norm, log)
+    return _DEFAULT_ENC_TABLES[category]
+
+
+def ll_code(ll: int) -> int:
+    if ll < 16:
+        return ll
+    return int(np.searchsorted(LL_BASE, ll, side="right")) - 1
+
+
+def ml_code(ml: int) -> int:
+    if ml < 35:
+        return ml - 3
+    return int(np.searchsorted(ML_BASE, ml, side="right")) - 1
+
+
+def of_code(offset_value: int) -> int:
+    return offset_value.bit_length() - 1
+
+
+def write_num_sequences(n: int) -> bytes:
+    if n < 128:
+        return bytes([n])
+    if n < 0x7F00:
+        return bytes([(n >> 8) + 128, n & 0xFF])
+    if n <= 0xFFFF + 0x7F00:
+        v = n - 0x7F00
+        return bytes([255, v & 0xFF, v >> 8])
+    raise corruption_detected("too many sequences for one block")
+
+
+def _choose_table(codes, category: str, default_norm, default_log, max_code, max_log):
+    """Pick the cheapest of RLE / predefined / FSE_Compressed for one
+    category. Returns (mode, enc_table, desc_bytes, cost_bits_estimate)."""
+    n = len(codes)
+    hist = np.bincount(codes, minlength=max_code + 1).astype(np.int64)
+
+    if np.count_nonzero(hist) == 1:
+        sym = int(np.argmax(hist))
+        return MODE_RLE, build_encode_table([0] * sym + [1], 0), bytes([sym]), 0
+
+    # Predefined cost: -log2(p) per symbol; -1 entries cost accuracy_log bits.
+    pred_bits = 0.0
+    pred_ok = True
+    for s in range(max_code + 1):
+        c = int(hist[s])
+        if c == 0:
+            continue
+        if s >= len(default_norm) or default_norm[s] == 0:
+            pred_ok = False
+            break
+        p = default_norm[s] if default_norm[s] > 0 else 0.5
+        pred_bits += c * (default_log - np.log2(p))
+
+    # Dedicated FSE table cost.
+    log = optimal_table_log(max_log, n, max_code)
+    max_present = int(np.max(np.nonzero(hist)[0]))
+    norm = normalize_counts(hist, log, n, max_present)
+    desc = write_ncount(norm, log)
+    fse_bits = 8 * len(desc)
+    for s in range(max_present + 1):
+        c = int(hist[s])
+        if c == 0:
+            continue
+        p = norm[s] if norm[s] > 0 else 0.5
+        fse_bits += c * (log - np.log2(p))
+
+    if pred_ok and pred_bits <= fse_bits:
+        return MODE_PREDEFINED, _default_enc_table(category), b"", pred_bits
+    return MODE_FSE, build_encode_table(norm, log), desc, fse_bits
+
+
+def encode_sequences_section(seqs) -> bytes:
+    """Serialize the full sequences section for a block.
+
+    ``seqs``: list of Sequence(ll, ml, offset_value).
+    """
+    n = len(seqs)
+    out = bytearray(write_num_sequences(n))
+    if n == 0:
+        return bytes(out)
+
+    ll_codes = np.array([ll_code(s.ll) for s in seqs], dtype=np.int64)
+    ml_codes = np.array([ml_code(s.ml) for s in seqs], dtype=np.int64)
+    of_codes = np.array([of_code(s.offset_value) for s in seqs], dtype=np.int64)
+
+    ll_mode, ll_t, ll_desc, _ = _choose_table(
+        ll_codes, "ll", LL_DEFAULT_NORM, LL_DEFAULT_LOG, MAX_LL_CODE, LL_MAX_LOG
+    )
+    of_mode, of_t, of_desc, _ = _choose_table(
+        of_codes, "of", OF_DEFAULT_NORM, OF_DEFAULT_LOG, MAX_OFFSET_CODE, OF_MAX_LOG
+    )
+    ml_mode, ml_t, ml_desc, _ = _choose_table(
+        ml_codes, "ml", ML_DEFAULT_NORM, ML_DEFAULT_LOG, MAX_ML_CODE, ML_MAX_LOG
+    )
+
+    out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
+    out += ll_desc + of_desc + ml_desc
+
+    bw = BitWriter()
+    last = n - 1
+    ml_state = FseEncState(ml_t, int(ml_codes[last]))
+    of_state = FseEncState(of_t, int(of_codes[last]))
+    ll_state = FseEncState(ll_t, int(ll_codes[last]))
+
+    def add_extras(i: int) -> None:
+        s = seqs[i]
+        lc, mc, oc = int(ll_codes[i]), int(ml_codes[i]), int(of_codes[i])
+        bw.add(s.ll - int(LL_BASE[lc]), int(LL_BITS[lc]))
+        bw.add(s.ml - int(ML_BASE[mc]), int(ML_BITS[mc]))
+        bw.add(s.offset_value - (1 << oc), oc)
+
+    add_extras(last)
+    for i in range(n - 2, -1, -1):
+        of_state.encode(bw, int(of_codes[i]))
+        ml_state.encode(bw, int(ml_codes[i]))
+        ll_state.encode(bw, int(ll_codes[i]))
+        add_extras(i)
+    ml_state.flush(bw)
+    of_state.flush(bw)
+    ll_state.flush(bw)
+    out += bw.finish()
+    return bytes(out)
