@@ -1,0 +1,310 @@
+"""Streaming-layer tests mirroring the reference's in-module suites:
+whole-pipeline cycles (reference: lib/src/lib.rs:69-358), encoder state
+machine (encode.rs:802-871), decoder semantics (decode.rs:581-940)."""
+
+import io
+import os
+
+import pytest
+
+from zeekstd_tpu import (
+    BytesWrapper,
+    DecodeOptions,
+    Decoder,
+    EncodeOptions,
+    Encoder,
+    Format,
+    FrameIndexTooLargeError,
+    FrameSizePolicy,
+    OffsetOutOfRangeError,
+    RawEncoder,
+    SeekTable,
+)
+from zeekstd_tpu.codec.decompress import DCtx
+
+from .oracle import zstd_decompress
+from .test_decompress import structured_data, text_data
+
+# The reference uses its own source as test input (lib/src/lib.rs:80).
+INPUT = open(os.path.join(os.path.dirname(__file__), "..", "SURVEY.md"), "rb").read()
+
+
+def seekable_archive(data=INPUT, frame_size=1 << 14, level=1, fmt=Format.FOOT, checksum=False):
+    out = io.BytesIO()
+    opts = (
+        EncodeOptions()
+        .with_compression_level(level)
+        .with_checksum_flag(checksum)
+        .with_frame_size_policy(FrameSizePolicy.uncompressed(frame_size))
+    )
+    enc = Encoder(opts, out)
+    enc.compress(data)
+    enc.finish(fmt)
+    return out.getvalue()
+
+
+def test_whole_pipeline_cycle():
+    # Compress in small steps, end frames, serialize table, decode, compare
+    # (reference: lib/src/lib.rs:82-134; step = INPUT/500 forces resumption).
+    step = max(len(INPUT) // 500, 1)
+    opts = EncodeOptions().with_frame_size_policy(FrameSizePolicy.uncompressed(1 << 13))
+    enc = RawEncoder(opts)
+    blob = bytearray()
+    for i in range(0, len(INPUT), step):
+        blob += enc.compress(INPUT[i : i + step])
+    blob += enc.end_frame()
+    st = enc.into_seek_table()
+    ser = st.into_serializer()
+    while True:
+        chunk = ser.read(7)
+        if not chunk:
+            break
+        blob += chunk
+    assert st.size_comp == len(blob) - ser.encoded_len
+    assert st.size_decomp == len(INPUT)
+    assert st.num_frames == -(-len(INPUT) // (1 << 13))
+
+    dec = DecodeOptions(BytesWrapper(bytes(blob))).into_decoder()
+    assert dec.read(-1) == INPUT
+    # And the whole archive (frames only) decodes in libzstd too.
+    assert zstd_decompress(bytes(blob[: st.size_comp])) == INPUT
+
+
+@pytest.mark.parametrize("fmt", [Format.FOOT, Format.HEAD])
+def test_standalone_seek_table_cycle(fmt):
+    # (reference: lib/src/lib.rs:136-200)
+    enc = RawEncoder(
+        EncodeOptions().with_frame_size_policy(FrameSizePolicy.uncompressed(4096))
+    )
+    frames = enc.compress(INPUT[:50_000]) + enc.end_frame()
+    st = enc.into_seek_table()
+    table_blob = st.to_bytes(fmt)
+    parsed = SeekTable.from_seekable_format(BytesWrapper(table_blob), fmt)
+    assert parsed == st
+    dec = (
+        DecodeOptions(BytesWrapper(frames)).with_seek_table(parsed).into_decoder()
+    )
+    assert dec.read(-1) == INPUT[:50_000]
+
+
+def test_binary_patch_cycle():
+    # (reference: lib/src/lib.rs:202-263)
+    old = structured_data(40_000)
+    new = old[:10_000] + b"#patch#" + old[10_000:35_000] + b"!end"
+    enc = RawEncoder(
+        EncodeOptions().with_frame_size_policy(FrameSizePolicy.uncompressed(8192))
+    )
+    patch = enc.compress_with_prefix(new, old) + enc.end_frame()
+    st = enc.into_seek_table()
+
+    dec = (
+        DecodeOptions(BytesWrapper(patch))
+        .with_seek_table(st)
+        .with_prefix(old)
+        .into_decoder()
+    )
+    assert dec.read(-1) == new
+
+
+def test_io_copy_cycle():
+    # (reference: lib/src/lib.rs:265-287) std::io::copy equivalent.
+    blob = seekable_archive()
+    dec = DecodeOptions(BytesWrapper(blob)).into_decoder()
+    sink = io.BytesIO()
+    while True:
+        chunk = dec.read(8192)
+        if not chunk:
+            break
+        sink.write(chunk)
+    assert sink.getvalue() == INPUT
+
+
+def test_compressed_frame_size_policy():
+    # Frames cut once the compressed payload reaches the threshold.
+    opts = EncodeOptions().with_frame_size_policy(FrameSizePolicy.compressed(2000))
+    enc = RawEncoder(opts)
+    blob = enc.compress(INPUT) + enc.end_frame()
+    st = enc.into_seek_table()
+    assert st.num_frames >= 2
+    sizes = [st.frame_size_comp(i) for i in range(st.num_frames)]
+    # Every frame but the last must have hit the threshold.
+    assert all(s >= 2000 for s in sizes[:-1])
+    dec = DecodeOptions(BytesWrapper(blob)).with_seek_table(st).into_decoder()
+    assert dec.read(-1) == INPUT
+
+
+def test_encoder_reset_determinism():
+    # (reference: lib/src/encode.rs:810-831)
+    enc = RawEncoder(EncodeOptions())
+    a = enc.compress(INPUT[:10_000]) + enc.end_frame()
+    enc.reset_frame()
+    enc.reset_seek_table()
+    b = enc.compress(INPUT[:10_000]) + enc.end_frame()
+    assert a == b
+
+
+def test_checksum_flag_in_frame_headers():
+    # Every frame header carries the checksum bit (reference: encode.rs:833-870).
+    blob = seekable_archive(frame_size=4096, checksum=True)
+    st = SeekTable.from_seekable(BytesWrapper(blob))
+    for i in range(st.num_frames):
+        frame_start = st.frame_start_comp(i)
+        assert blob[frame_start + 4] & 0x04
+
+
+def test_decode_options_validation():
+    # ok/err matrix (reference: lib/src/decode.rs:631-661)
+    blob = seekable_archive()
+    n = len(INPUT)
+    DecodeOptions(BytesWrapper(blob)).with_offset(n).into_decoder()  # ok
+    with pytest.raises(OffsetOutOfRangeError):
+        DecodeOptions(BytesWrapper(blob)).with_offset(n + 1).into_decoder()
+    with pytest.raises(OffsetOutOfRangeError):
+        DecodeOptions(BytesWrapper(blob)).with_offset_limit(n + 1).into_decoder()
+    with pytest.raises(FrameIndexTooLargeError):
+        DecodeOptions(BytesWrapper(blob)).with_lower_frame(10_000).into_decoder()
+
+
+def test_frame_range_decode():
+    # (reference: lib/src/decode.rs:684-730) + reassembly equals original
+    # (reference: cli/tests/integration/main.rs:406-443).
+    blob = seekable_archive(frame_size=8192)
+    st = SeekTable.from_seekable(BytesWrapper(blob))
+    pieces = []
+    for i in range(st.num_frames):
+        dec = (
+            DecodeOptions(BytesWrapper(blob))
+            .with_lower_frame(i)
+            .with_upper_frame(i)
+            .into_decoder()
+        )
+        pieces.append(dec.read(-1))
+    assert b"".join(pieces) == INPUT
+
+    # A middle range.
+    dec = (
+        DecodeOptions(BytesWrapper(blob))
+        .with_lower_frame(1)
+        .with_upper_frame(2)
+        .into_decoder()
+    )
+    assert dec.read(-1) == INPUT[8192 : 3 * 8192]
+
+
+def test_lower_above_upper_zero_bytes():
+    # (reference: lib/src/decode.rs:719-730)
+    blob = seekable_archive(frame_size=8192)
+    dec = (
+        DecodeOptions(BytesWrapper(blob))
+        .with_lower_frame(3)
+        .with_upper_frame(1)
+        .into_decoder()
+    )
+    assert dec.read(-1) == b""
+
+
+def test_reset_redecodes():
+    # (reference: lib/src/decode.rs:732-771)
+    blob = seekable_archive(frame_size=8192)
+    dec = DecodeOptions(BytesWrapper(blob)).into_decoder()
+    first = dec.read(10_000)
+    dec.reset()
+    again = dec.read(10_000)
+    assert first == again == INPUT[:10_000]
+
+
+def test_offset_window_decode():
+    # (reference: lib/src/decode.rs:821-851)
+    blob = seekable_archive(frame_size=4096)
+    dec = (
+        DecodeOptions(BytesWrapper(blob))
+        .with_offset(5000)
+        .with_offset_limit(13_000)
+        .into_decoder()
+    )
+    assert dec.read(-1) == INPUT[5000:13_000]
+    # Mid-frame offsets on both ends.
+    dec2 = DecodeOptions(BytesWrapper(blob)).with_offset(4097).into_decoder()
+    assert dec2.read(100) == INPUT[4097:4197]
+
+
+def test_io_seek_semantics():
+    # Start/End/Current (reference: lib/src/decode.rs:853-908)
+    blob = seekable_archive(frame_size=4096)
+    dec = DecodeOptions(BytesWrapper(blob)).into_decoder()
+    dec.seek(100, os.SEEK_SET)
+    assert dec.read(50) == INPUT[100:150]
+    assert dec.tell() == 150
+    dec.seek(-50, os.SEEK_CUR)
+    assert dec.read(10) == INPUT[100:110]
+    dec.seek(-100, os.SEEK_END)
+    assert dec.read(-1) == INPUT[-100:]
+    with pytest.raises(OffsetOutOfRangeError):
+        dec.seek(-1, os.SEEK_SET)
+
+
+def test_set_offset_continue_vs_reset():
+    # Moving within the current frame must not discard it; jumping out must
+    # (reference: lib/src/decode.rs:910-939).
+    blob = seekable_archive(frame_size=8192)
+    dec = DecodeOptions(BytesWrapper(blob)).into_decoder()
+    dec.read(100)
+    before = dec.read_compressed
+    dec.set_offset(4000)  # same frame
+    assert dec.read(100) == INPUT[4000:4100]
+    assert dec.read_compressed == before  # no re-read: frame cache reused
+    dec.set_offset(20_000)  # different frame
+    assert dec.read(100) == INPUT[20_000:20_100]
+    assert dec.read_compressed > before
+
+
+def test_set_offset_limit_mid_stream():
+    blob = seekable_archive(frame_size=4096)
+    dec = DecodeOptions(BytesWrapper(blob)).into_decoder()
+    dec.set_offset_limit(6000)
+    assert dec.read(-1) == INPUT[:6000]
+    assert dec.read(100) == b""  # clamped at limit
+    dec.set_offset_limit(7000)
+    assert dec.read(-1) == INPUT[6000:7000]
+
+
+def test_file_backed_archive(tmp_path):
+    path = tmp_path / "arch.zst"
+    path.write_bytes(seekable_archive(frame_size=4096))
+    with open(path, "rb") as f:
+        dec = DecodeOptions(f).into_decoder()
+        assert dec.read(-1) == INPUT
+
+
+def test_head_format_archive_with_separate_table(tmp_path):
+    # Separate seek-table file in Head format (reference CLI --seek-table-file,
+    # cli/src/compress.rs:84-95).
+    out = io.BytesIO()
+    opts = EncodeOptions().with_frame_size_policy(FrameSizePolicy.uncompressed(4096))
+    enc = Encoder(opts, out)
+    enc.compress(INPUT[:30_000])
+    enc.end_frame()
+    st = enc.seek_table()
+    (tmp_path / "table.zst").write_bytes(st.to_bytes(Format.HEAD))
+    (tmp_path / "data.zst").write_bytes(out.getvalue())
+
+    with open(tmp_path / "table.zst", "rb") as f:
+        table = SeekTable.from_reader(f)
+    with open(tmp_path / "data.zst", "rb") as f:
+        dec = DecodeOptions(f).with_seek_table(table).into_decoder()
+        assert dec.read(-1) == INPUT[:30_000]
+
+
+def test_encoder_reuse_after_into_seek_table():
+    enc = RawEncoder(EncodeOptions())
+    blob1 = enc.compress(b"first stream") + enc.end_frame()
+    st1 = enc.into_seek_table()
+    assert st1.num_frames == 1
+    enc.reset_seek_table()
+    blob2 = enc.compress(b"second stream") + enc.end_frame()
+    st2 = enc.seek_table()
+    assert st2.num_frames == 1
+    d1 = DecodeOptions(BytesWrapper(blob1)).with_seek_table(st1).into_decoder()
+    d2 = DecodeOptions(BytesWrapper(blob2)).with_seek_table(st2).into_decoder()
+    assert d1.read(-1) == b"first stream"
+    assert d2.read(-1) == b"second stream"

@@ -80,7 +80,13 @@ def compress_block(state, pos: int, size: int, last: bool) -> bytes:
             )
 
     seqs, literals, new_reps = find_sequences(
-        state.window, wstart, wend, state.params, state.match_state, state.rep_offsets
+        state.window,
+        wstart,
+        wend,
+        state.params,
+        state.match_state,
+        state.rep_offsets,
+        max_dist=state.max_offset,
     )
     body = encode_literals_section(literals) + encode_sequences_section(seqs)
 

@@ -69,47 +69,121 @@ def compress_frame(
     window_log: int = 0,
 ) -> bytes:
     """Compress ``data`` into a single complete zstd frame."""
-    if window_log == 0:
-        # Window covers the whole input (frames are bounded by the seekable
-        # frame-size policy, reference default 2 MiB: lib/src/encode.rs:36-38).
-        need = max(len(data) + len(prefix), 1 << 10)
-        window_log = min(need.bit_length() - (0 if need & (need - 1) else 1), 27)
-    window_size = min(1 << window_log, max(len(data) + len(prefix), 1024))
+    enc = FrameEncoder(
+        level=level,
+        checksum=checksum,
+        prefix=prefix,
+        window_log=window_log,
+        content_size=len(data),
+    )
+    return enc.compress(data) + enc.finish()
 
-    out = bytearray()
-    out += frame_mod.write_frame_header(len(data), window_size, checksum)
 
-    block_max = frame_mod.block_size_max(window_size)
-    state = CompressState(data, prefix, level)
+class FrameEncoder:
+    """Incremental single-frame encoder: feed chunks, blocks are emitted as
+    they fill; ``finish()`` closes the frame (last block + checksum).
 
-    if not data:
-        out += frame_mod.write_block_header(True, frame_mod.BLOCK_RAW, 0)
-    else:
-        pos = 0
-        while pos < len(data):
-            size = min(block_max, len(data) - pos)
-            last = pos + size == len(data)
-            out += compress_block(state, pos, size, last)
-            pos += size
+    This is the building block for the streaming seekable encoder's
+    frame-cutting state machine (reference drives libzstd's
+    compress_stream2 the same way: lib/src/encode.rs:341-345, 438-472).
+    """
 
-    if checksum:
-        h = XXH64(0)
-        h.update(data)
-        out += (h.digest() & 0xFFFF_FFFF).to_bytes(4, "little")
-    return bytes(out)
+    def __init__(
+        self,
+        level: int = DEFAULT_COMPRESSION_LEVEL,
+        checksum: bool = False,
+        prefix: bytes = b"",
+        window_log: int = 0,
+        content_size: int | None = None,
+        block_size: int | None = None,
+    ):
+        if window_log == 0:
+            if content_size is not None:
+                need = max(content_size + len(prefix), 1 << 10)
+                window_log = min(
+                    need.bit_length() - (0 if need & (need - 1) else 1), 27
+                )
+            else:
+                window_log = 24  # streaming default when size unknown
+        self.window_size = 1 << window_log
+        if content_size is not None:
+            self.window_size = min(
+                self.window_size, max(content_size + len(prefix), 1024)
+            )
+        self.checksum = checksum
+        self.block_max = frame_mod.block_size_max(self.window_size)
+        if block_size is not None:
+            self.block_max = max(1024, min(self.block_max, block_size))
+        self.state = CompressState(prefix, level, max_offset=self.window_size)
+        self._header = frame_mod.write_frame_header(
+            content_size, self.window_size, checksum
+        )
+        self._hasher = XXH64(0) if checksum else None
+        self._pending = bytearray()
+        self._frame_pos = 0  # uncompressed bytes already emitted as blocks
+        self._emitted_any = False
+        self._finished = False
+
+    def compress(self, chunk: bytes) -> bytes:
+        """Feed input; returns any compressed bytes produced."""
+        assert not self._finished
+        if self._hasher is not None:
+            self._hasher.update(chunk)
+        self._pending += chunk
+        out = bytearray()
+        if self._header is not None:
+            out += self._header
+            self._header = None
+        while len(self._pending) > self.block_max:
+            out += self._emit_block(self.block_max, last=False)
+        return bytes(out)
+
+    def _emit_block(self, size: int, last: bool) -> bytes:
+        data = bytes(self._pending[:size])
+        del self._pending[:size]
+        self.state.extend(data)
+        blk = compress_block(self.state, self._frame_pos, size, last)
+        self._frame_pos += size
+        self._emitted_any = True
+        return blk
+
+    def finish(self) -> bytes:
+        """Close the frame: final block (possibly empty) + checksum."""
+        assert not self._finished
+        self._finished = True
+        out = bytearray()
+        if self._header is not None:
+            out += self._header
+            self._header = None
+        while len(self._pending) > self.block_max:
+            out += self._emit_block(self.block_max, last=False)
+        out += self._emit_block(len(self._pending), last=True)
+        if self._hasher is not None:
+            out += (self._hasher.digest() & 0xFFFF_FFFF).to_bytes(4, "little")
+        return bytes(out)
+
+    @property
+    def uncompressed_size(self) -> int:
+        return self._frame_pos + len(self._pending)
 
 
 class CompressState:
-    """Per-frame encoder state shared across blocks: the concatenated
+    """Per-frame encoder state shared across blocks: the growing
     prefix+data window, repeat-offset history, and carried entropy tables."""
 
-    def __init__(self, data: bytes, prefix: bytes, level: int):
+    def __init__(self, prefix: bytes, level: int, max_offset: int = 1 << 31):
         from .match import params_for_level
 
         self.prefix_len = len(prefix)
-        self.window = prefix + data  # match search space
+        self.window = bytearray(prefix)  # match search space, grows per block
         self.level = level
         self.params = params_for_level(level)
+        self.max_offset = max_offset
         self.rep_offsets = (1, 4, 8)
         self.huf_table = None  # carried for treeless-literal reuse
         self.match_state = None  # carried hash tables across blocks
+
+    def extend(self, data: bytes) -> None:
+        self.window += data
+        if self.match_state is not None:
+            self.match_state.ensure_capacity(len(self.window))

@@ -60,8 +60,14 @@ class MatchState:
 
     def __init__(self, window_len: int):
         self.head = np.full(1 << HASH_LOG, -1, dtype=np.int64)
-        self.chain = np.full(window_len, -1, dtype=np.int64)
+        self.chain = np.full(max(window_len, 1024), -1, dtype=np.int64)
         self.filled_to = 0
+
+    def ensure_capacity(self, window_len: int) -> None:
+        if window_len > len(self.chain):
+            new = np.full(max(window_len, 2 * len(self.chain)), -1, dtype=np.int64)
+            new[: len(self.chain)] = self.chain
+            self.chain = new
 
 
 def _hash4(v: int) -> int:
@@ -136,7 +142,7 @@ def encode_offset(offset: int, ll: int, reps):
     return offset + 3, (offset, r1, r2)
 
 
-def find_sequences(window: bytes, start: int, end: int, params: MatchParams, state: MatchState, reps):
+def find_sequences(window: bytes, start: int, end: int, params: MatchParams, state: MatchState, reps, max_dist: int = 1 << 31):
     """Greedy/lazy parse of window[start:end] (history = window[:start]).
 
     Returns (sequences, literals, new_reps). ``reps`` mirrors the decoder's
@@ -184,11 +190,14 @@ def find_sequences(window: bytes, start: int, end: int, params: MatchParams, sta
         h = _hash_n(data, p, hb)
         cand = head[h]
         tries = depth
+        lo = p - max_dist
         while cand >= 0 and tries > 0:
             c = int(cand)
             if c >= p:  # self or future position (already inserted)
                 cand = chain[c]
                 continue
+            if c < lo:  # beyond the window: the chain only gets older
+                break
             if data[p : p + 4] == data[c : c + 4]:
                 l = match_len_at(p, c, limit)
                 # Prefer longer; on ties prefer smaller offset.
