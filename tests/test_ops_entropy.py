@@ -215,7 +215,7 @@ def test_fse_decode_sequences_matches_host():
     ml_s, ml_n, ml_b = dense_dec(ml_dt, 512)
 
     seq_bound = 1 << (n - 1).bit_length()
-    lls, mls, offs, reps = jax.jit(
+    lls, mls, offs, ofvs, reps = jax.jit(
         fse_decode_sequences, static_argnames=("seq_bound",)
     )(
         words, jnp.int32(start_bits), seq_bound, n,

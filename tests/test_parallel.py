@@ -1,0 +1,63 @@
+"""Mesh-parallel pipeline: multi-device equivalence with the single-chip
+path on the virtual 8-device CPU mesh (the reference's BytesWrapper-style
+simulate-before-real-hardware strategy, SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from zeekstd_tpu import BytesWrapper, DecodeOptions
+from zeekstd_tpu.parallel import make_mesh, parallel_compress, parallel_decompress
+
+from .oracle import zstd_decompress
+from .test_decompress import structured_data, text_data
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_parallel_compress_roundtrip():
+    data = structured_data(200_000)
+    mesh = make_mesh()
+    blob, st = parallel_compress(data, mesh, frame_size=32_768)
+    assert st.num_frames == -(-len(data) // 32_768)
+    assert st.size_decomp == len(data)
+    assert st.size_comp == len(blob)
+    # Every frame independently valid for libzstd.
+    assert zstd_decompress(blob) == data
+    # The archive + appended table is a normal seekable archive.
+    archive = blob + st.to_bytes()
+    dec = DecodeOptions(BytesWrapper(archive)).into_decoder()
+    assert dec.read(-1) == data
+
+
+def test_parallel_decompress_matches():
+    data = text_data(150_000)
+    mesh = make_mesh()
+    blob, st = parallel_compress(data, mesh, frame_size=16_384, checksum=True)
+    out = parallel_decompress(blob, st, mesh)
+    assert out == data
+
+
+def test_parallel_equals_serial_frames():
+    # Sharded compression must produce the same per-frame payloads as the
+    # single-device pipeline (determinism across shardings).
+    from zeekstd_tpu.tpu_codec import tpu_compress_frame
+
+    data = structured_data(100_000)
+    mesh = make_mesh()
+    blob, st = parallel_compress(data, mesh, frame_size=32_768)
+    serial = b"".join(
+        tpu_compress_frame(data[i * 32_768 : (i + 1) * 32_768])
+        for i in range(st.num_frames)
+    )
+    assert blob == serial
+
+
+def test_single_device_mesh():
+    data = text_data(40_000)
+    mesh = make_mesh(jax.devices()[:1])
+    blob, st = parallel_compress(data, mesh, frame_size=8192)
+    assert zstd_decompress(blob) == data

@@ -1,0 +1,70 @@
+"""End-to-end TPU codec: device-pipeline frames must interoperate with
+libzstd and the host codec in both directions."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from zeekstd_tpu.codec import compress_frame, decompress_frame
+from zeekstd_tpu.tpu_codec import tpu_compress_frame, tpu_decompress_frame
+
+from .oracle import zstd_compress, zstd_decompress
+from .test_decompress import random_data, structured_data, text_data
+
+CASES = [
+    ("text", text_data(60_000)),
+    ("struct", structured_data(80_000)),
+    ("random", random_data(20_000)),
+    ("zeros", b"\x00" * 50_000),
+    ("periodic", (b"0123456789abcdef" * 5000)[:70_000]),
+    ("tiny", b"hello"),
+    ("multiblock", structured_data(300_000)),
+]
+
+
+@pytest.mark.parametrize("name,data", CASES, ids=[c[0] for c in CASES])
+def test_tpu_compress_interop(name, data):
+    frame = tpu_compress_frame(data, checksum=True)
+    assert zstd_decompress(frame) == data
+    out, end = decompress_frame(frame)
+    assert out == data and end == len(frame)
+
+
+@pytest.mark.parametrize("name,data", CASES, ids=[c[0] for c in CASES])
+def test_tpu_decompress_libzstd_frames(name, data):
+    for level in (1, 3):
+        frame = zstd_compress(data, level=level, checksum=True)
+        out, end = tpu_decompress_frame(frame)
+        assert out == data
+        assert end == len(frame)
+
+
+@pytest.mark.parametrize("name,data", CASES, ids=[c[0] for c in CASES])
+def test_tpu_decompress_host_frames(name, data):
+    frame = compress_frame(data, level=3, checksum=True)
+    out, _ = tpu_decompress_frame(frame)
+    assert out == data
+
+
+def test_tpu_full_cycle():
+    data = structured_data(150_000)
+    frame = tpu_compress_frame(data, checksum=True)
+    out, _ = tpu_decompress_frame(frame)
+    assert out == data
+
+
+def test_tpu_decompress_high_level_many_blocks():
+    # Level 19 exercises FSE_Compressed tables, treeless literals and
+    # cross-block repeat offsets.
+    data = text_data(400_000)
+    frame = zstd_compress(data, level=19, checksum=True)
+    out, _ = tpu_decompress_frame(frame)
+    assert out == data
+
+
+def test_compression_ratio_vs_libzstd_l1():
+    data = text_data(120_000)
+    ours = len(tpu_compress_frame(data))
+    ref = len(zstd_compress(data, level=1))
+    assert ours <= ref * 1.05

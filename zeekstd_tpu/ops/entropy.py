@@ -258,11 +258,15 @@ def fse_decode_sequences(
             jnp.where(on, ll, 0),
             jnp.where(on, ml, 0),
             jnp.where(on, off, 1),
+            jnp.where(on, ofv, 4),
         )
         return (ll_s, of_s, ml_s, rem, r1, r2, r3), out
 
     init = (ll_s, of_s, ml_s, rem, jnp.int32(1), jnp.int32(4), jnp.int32(8))
-    carry, (lls, mls, offs) = jax.lax.scan(
+    carry, (lls, mls, offs, ofvs) = jax.lax.scan(
         step, init, jnp.arange(seq_bound, dtype=jnp.int32)
     )
-    return lls, mls, offs, carry[4:7]
+    # offs: offsets resolved against a fresh (1,4,8) repeat history — exact
+    # for the first block of a frame; ofvs: raw offset values so callers can
+    # re-resolve with the true cross-block repeat carry when ofv<=3 occurs.
+    return lls, mls, offs, ofvs, carry[4:7]
