@@ -1,0 +1,145 @@
+"""Build-on-demand loader for the native runtime (ctypes bindings).
+
+Compiles ``zeekstd_native.cpp`` with the system g++ on first use and caches
+the shared object next to the source (invalidated by source mtime). All
+entry points degrade gracefully: ``get_lib()`` returns None when no
+compiler is available, and callers fall back to the Python/JAX paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "zeekstd_native.cpp")
+_SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libzeekstd_native.so")
+
+
+def _build() -> bool:
+    try:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return True
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+            "-o", _SO, _SRC,
+        ]
+        res = subprocess.run(cmd, capture_output=True, timeout=180)
+        return res.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        lib.zn_xxh64.restype = ctypes.c_uint64
+        lib.zn_xxh64.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint64]
+        lib.zn_compress_frame.restype = ctypes.c_size_t
+        lib.zn_compress_frame.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.zn_decompress_frame.restype = ctypes.c_int64
+        lib.zn_decompress_frame.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.zn_compress_stream_mt.restype = ctypes.c_int64
+        lib.zn_compress_stream_mt.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.zn_decompress_stream_mt.restype = ctypes.c_int64
+        lib.zn_decompress_stream_mt.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_size_t, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    lib = get_lib()
+    return lib.zn_xxh64(bytes(data), len(data), seed)
+
+
+def compress_frame(data: bytes, checksum: bool = False, prefix: bytes = b"") -> bytes:
+    lib = get_lib()
+    cap = len(data) + len(data) // 2 + 1024
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.zn_compress_frame(
+        bytes(data), len(data), dst, cap, 1, int(checksum),
+        bytes(prefix) if prefix else None, len(prefix),
+    )
+    if r == ctypes.c_size_t(-1).value:
+        raise RuntimeError("native compress failed")
+    return dst.raw[:r]
+
+
+def decompress_frame(data: bytes, max_size: int, prefix: bytes = b""):
+    """Returns (output, consumed). Raises on error; checksum mismatch raises
+    with 'checksum' in the message."""
+    lib = get_lib()
+    dst = ctypes.create_string_buffer(max_size)
+    consumed = ctypes.c_size_t(0)
+    r = lib.zn_decompress_frame(
+        bytes(data), len(data), dst, max_size,
+        bytes(prefix) if prefix else None, len(prefix),
+        ctypes.byref(consumed),
+    )
+    if r == -2:
+        raise RuntimeError("native decompress: checksum mismatch")
+    if r < 0:
+        raise RuntimeError("native decompress failed")
+    return dst.raw[:r], consumed.value
+
+
+def compress_stream_mt(data: bytes, frame_size: int, checksum: bool = False, nthreads: int = 0):
+    """Compress all frames in parallel; returns (blob, [frame_sizes])."""
+    lib = get_lib()
+    n = len(data)
+    nframes = -(-n // frame_size) if n else 0
+    cap = n + n // 2 + 4096 + 16 * max(nframes, 1)
+    dst = ctypes.create_string_buffer(cap)
+    sizes = (ctypes.c_uint32 * max(nframes, 1))()
+    r = lib.zn_compress_stream_mt(
+        bytes(data), n, dst, cap, frame_size, int(checksum), nthreads, sizes
+    )
+    if r < 0:
+        raise RuntimeError("native stream compress failed")
+    return dst.raw[:r], [sizes[i] for i in range(nframes)]
+
+
+def decompress_stream_mt(blob: bytes, frame_offsets, frame_dst_offsets, nthreads: int = 0) -> bytes:
+    """Decompress frames in parallel given compressed/decompressed offsets
+    (from the seek table)."""
+    lib = get_lib()
+    nframes = len(frame_offsets) - 1
+    total = frame_dst_offsets[-1]
+    dst = ctypes.create_string_buffer(max(total, 1))
+    fo = (ctypes.c_uint64 * len(frame_offsets))(*frame_offsets)
+    do = (ctypes.c_uint64 * len(frame_dst_offsets))(*frame_dst_offsets)
+    r = lib.zn_decompress_stream_mt(
+        bytes(blob), len(blob), dst, max(total, 1), fo, do, nframes, nthreads
+    )
+    if r < 0:
+        raise RuntimeError("native stream decompress failed")
+    return dst.raw[:r]

@@ -1,0 +1,1535 @@
+// zeekstd_tpu native runtime: zstd frame codec + XXH64 + threaded frame pool.
+//
+// This is the host-native execution backend of the framework (the reference
+// delegates the same role to libzstd, SURVEY §2.3; here it is implemented
+// from scratch against RFC 8878). The seekable framing layer stays in
+// Python; this library provides per-frame compress/decompress with a C ABI
+// plus multi-threaded whole-stream helpers that exploit the seekable
+// format's frame independence.
+//
+// Algorithms intentionally mirror zeekstd_tpu/codec/*.py (the bit-exact
+// reference implementation tested against libzstd); both are validated by
+// the same oracle test suite.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -pthread -o libzeekstd_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <thread>
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstddef>
+
+typedef uint8_t u8;
+typedef uint16_t u16;
+typedef uint32_t u32;
+typedef uint64_t u64;
+typedef int32_t i32;
+typedef int64_t i64;
+typedef int16_t i16;
+
+static inline int highbit(u32 v) { return 31 - __builtin_clz(v); }
+
+// ---------------------------------------------------------------- XXH64 ---
+
+static const u64 P1 = 0x9E3779B185EBCA87ULL, P2 = 0xC2B2AE3D27D4EB4FULL,
+                 P3 = 0x165667B19E3779F9ULL, P4 = 0x85EBCA77C2B2AE63ULL,
+                 P5 = 0x27D4EB2F165667C5ULL;
+
+static inline u64 rotl64(u64 x, int r) { return (x << r) | (x >> (64 - r)); }
+static inline u64 xxh_round(u64 acc, u64 lane) {
+  return rotl64(acc + lane * P2, 31) * P1;
+}
+static inline u64 xxh_merge(u64 acc, u64 val) {
+  return (acc ^ xxh_round(0, val)) * P1 + P4;
+}
+static inline u64 read64(const u8* p) { u64 v; memcpy(&v, p, 8); return v; }
+static inline u32 read32(const u8* p) { u32 v; memcpy(&v, p, 4); return v; }
+
+extern "C" u64 zn_xxh64(const void* data, size_t len, u64 seed) {
+  const u8* p = (const u8*)data;
+  const u8* end = p + len;
+  u64 acc;
+  if (len >= 32) {
+    u64 a1 = seed + P1 + P2, a2 = seed + P2, a3 = seed, a4 = seed - P1;
+    const u8* limit = end - 32;
+    do {
+      a1 = xxh_round(a1, read64(p));
+      a2 = xxh_round(a2, read64(p + 8));
+      a3 = xxh_round(a3, read64(p + 16));
+      a4 = xxh_round(a4, read64(p + 24));
+      p += 32;
+    } while (p <= limit);
+    acc = rotl64(a1, 1) + rotl64(a2, 7) + rotl64(a3, 12) + rotl64(a4, 18);
+    acc = xxh_merge(acc, a1); acc = xxh_merge(acc, a2);
+    acc = xxh_merge(acc, a3); acc = xxh_merge(acc, a4);
+  } else {
+    acc = seed + P5;
+  }
+  acc += (u64)len;
+  while (p + 8 <= end) {
+    acc ^= xxh_round(0, read64(p));
+    acc = rotl64(acc, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    acc ^= (u64)read32(p) * P1;
+    acc = rotl64(acc, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    acc ^= (u64)(*p++) * P5;
+    acc = rotl64(acc, 11) * P1;
+  }
+  acc ^= acc >> 33; acc *= P2; acc ^= acc >> 29; acc *= P3; acc ^= acc >> 32;
+  return acc;
+}
+
+// ----------------------------------------------------------- bitstreams ---
+
+struct BitWriter {
+  u64 acc = 0;
+  int nbits = 0;
+  std::vector<u8>* out;
+  explicit BitWriter(std::vector<u8>* o) : out(o) {}
+  inline void add(u32 value, int n) {
+    acc |= ((u64)value & ((n >= 32) ? 0xFFFFFFFFULL : ((1ULL << n) - 1))) << nbits;
+    nbits += n;
+    while (nbits >= 8) { out->push_back((u8)acc); acc >>= 8; nbits -= 8; }
+  }
+  inline void finish() {  // sentinel + byte align
+    add(1, 1);
+    if (nbits) { out->push_back((u8)acc); acc = 0; nbits = 0; }
+  }
+  inline void align_no_sentinel() {
+    if (nbits) { out->push_back((u8)acc); acc = 0; nbits = 0; }
+  }
+};
+
+// Backward bit reader over [start, end): last byte holds the sentinel.
+struct BitReaderBack {
+  const u8* start;
+  i64 rem;  // payload bits remaining
+  bool ok = true;
+  BitReaderBack(const u8* s, size_t len) : start(s) {
+    if (!len || s[len - 1] == 0) { ok = false; rem = 0; return; }
+    rem = (i64)(len - 1) * 8 + highbit(s[len - 1]);
+  }
+  inline u32 read(int n) {
+    rem -= n;
+    if (n == 0) return 0;
+    i64 lo = rem;
+    if (lo >= 0) {
+      u64 window = 0;
+      // up to 8 bytes from byte lo>>3 (bounded by caller's buffer)
+      memcpy(&window, start + (lo >> 3), 8);
+      return (u32)((window >> (lo & 7)) & ((n >= 32) ? 0xFFFFFFFFULL : ((1ULL << n) - 1)));
+    }
+    i64 avail = n + lo;
+    if (avail <= 0) return 0;
+    u64 window; memcpy(&window, start, 8);
+    return (u32)((window & ((1ULL << avail) - 1)) << (-lo));
+  }
+};
+
+// Forward LSB-first reader (FSE table descriptions).
+struct BitReaderFwd {
+  const u8* data;
+  size_t len;
+  size_t bitpos = 0;
+  BitReaderFwd(const u8* d, size_t l) : data(d), len(l) {}
+  inline u32 peek(int n) {
+    u64 window = 0;
+    size_t byte0 = bitpos >> 3;
+    size_t take = len - byte0 < 8 ? len - byte0 : 8;
+    if (byte0 < len) memcpy(&window, data + byte0, take);
+    return (u32)((window >> (bitpos & 7)) & ((1ULL << n) - 1));
+  }
+  inline u32 read(int n) { u32 v = peek(n); bitpos += n; return v; }
+  size_t bytes_consumed() const { return (bitpos + 7) >> 3; }
+};
+
+// ------------------------------------------------------------------ FSE ---
+
+struct FseDecTable {
+  int log = 0;
+  u8 symbol[512];
+  u8 nbits[512];
+  u16 baseline[512];
+};
+
+struct FseEncTable {
+  int log = 0;
+  i32 delta_nb[64];
+  i32 delta_fs[64];
+  u16 state_table[512];
+  i16 norm[64];
+  int max_sym = 0;
+};
+
+static bool fse_build_dec(const i16* norm, int nsym, int log, FseDecTable* t) {
+  int size = 1 << log;
+  if (size > 512) return false;
+  t->log = log;
+  i32 sym_next[64];
+  int high = size - 1;
+  for (int s = 0; s < nsym; s++) {
+    if (norm[s] == -1) { t->symbol[high--] = (u8)s; sym_next[s] = 1; }
+    else sym_next[s] = norm[s];
+  }
+  int step = (size >> 1) + (size >> 3) + 3, mask = size - 1, pos = 0;
+  for (int s = 0; s < nsym; s++) {
+    for (int i = 0; i < norm[s]; i++) {
+      t->symbol[pos] = (u8)s;
+      pos = (pos + step) & mask;
+      while (pos > high) pos = (pos + step) & mask;
+    }
+  }
+  if (pos != 0) return false;
+  for (int u = 0; u < size; u++) {
+    int s = t->symbol[u];
+    int next = sym_next[s]++;
+    int bits = log - highbit((u32)next);
+    t->nbits[u] = (u8)bits;
+    t->baseline[u] = (u16)((next << bits) - size);
+  }
+  return true;
+}
+
+static bool fse_build_enc(const i16* norm, int nsym, int log, FseEncTable* t) {
+  int size = 1 << log;
+  if (size > 512 || nsym > 64) return false;
+  t->log = log; t->max_sym = nsym - 1;
+  memcpy(t->norm, norm, nsym * sizeof(i16));
+  u8 table_symbol[512];
+  int high = size - 1;
+  for (int s = 0; s < nsym; s++)
+    if (norm[s] == -1) table_symbol[high--] = (u8)s;
+  int step = (size >> 1) + (size >> 3) + 3, mask = size - 1, pos = 0;
+  for (int s = 0; s < nsym; s++)
+    for (int i = 0; i < norm[s]; i++) {
+      table_symbol[pos] = (u8)s;
+      pos = (pos + step) & mask;
+      while (pos > high) pos = (pos + step) & mask;
+    }
+  if (pos != 0) return false;
+  int cumul[65];
+  cumul[0] = 0;
+  for (int s = 0; s < nsym; s++)
+    cumul[s + 1] = cumul[s] + (norm[s] == -1 ? 1 : norm[s]);
+  int fill[64];
+  memcpy(fill, cumul, nsym * sizeof(int));
+  for (int position = 0; position < size; position++) {
+    int s = table_symbol[position];
+    t->state_table[fill[s]++] = (u16)(position + size);
+  }
+  int total = 0;
+  for (int s = 0; s < nsym; s++) {
+    if (norm[s] == 0) {
+      t->delta_nb[s] = ((log + 1) << 16) - size;
+    } else if (norm[s] == 1 || norm[s] == -1) {
+      t->delta_nb[s] = (log << 16) - size;
+      t->delta_fs[s] = total - 1;
+      total += 1;
+    } else {
+      int max_bits = log - highbit((u32)(norm[s] - 1));
+      int min_state_plus = norm[s] << max_bits;
+      t->delta_nb[s] = (max_bits << 16) - min_state_plus;
+      t->delta_fs[s] = total - norm[s];
+      total += norm[s];
+    }
+  }
+  return true;
+}
+
+struct FseEncState {
+  i32 state;
+  const FseEncTable* t;
+  inline void init(const FseEncTable* tab, int sym) {
+    t = tab;
+    int nb = (t->delta_nb[sym] + (1 << 15)) >> 16;
+    i32 value = (nb << 16) - t->delta_nb[sym];
+    state = t->state_table[(value >> nb) + t->delta_fs[sym]];
+  }
+  inline void encode(BitWriter& bw, int sym) {
+    int nb = (state + t->delta_nb[sym]) >> 16;
+    bw.add((u32)state, nb);
+    state = t->state_table[(state >> nb) + t->delta_fs[sym]];
+  }
+  inline void flush(BitWriter& bw) { bw.add((u32)state, t->log); }
+};
+
+// Parse an FSE table description; returns bytes consumed or 0 on error.
+static size_t fse_read_ncount(const u8* data, size_t len, int max_sym,
+                              int max_log, i16* norm, int* nsym_out,
+                              int* log_out) {
+  BitReaderFwd br(data, len);
+  int log = (int)br.read(4) + 5;
+  if (log > max_log) return 0;
+  int size = 1 << log;
+  int remaining = size + 1, threshold = size, nb = log + 1;
+  int i = 0;
+  while (remaining > 1) {
+    if (i > max_sym) return 0;
+    int maxv = (2 * threshold - 1) - remaining;
+    u32 val = br.peek(nb);
+    int count;
+    int small = (int)(val & (threshold - 1));
+    if (small < maxv) { count = small; br.bitpos += nb - 1; }
+    else {
+      count = (int)(val & (2 * threshold - 1));
+      if (count >= threshold) count -= maxv;
+      br.bitpos += nb;
+    }
+    count -= 1;
+    remaining -= count < 0 ? -count : count;
+    norm[i++] = (i16)count;
+    if (count == 0 && remaining > 1) {
+      for (;;) {
+        u32 rep = br.read(2);
+        for (u32 r = 0; r < rep; r++) {
+          if (i > max_sym) return 0;
+          norm[i++] = 0;
+        }
+        if (rep != 3) break;
+      }
+    }
+    while (remaining < threshold) { nb--; threshold >>= 1; }
+  }
+  if (remaining != 1) return 0;
+  size_t consumed = br.bytes_consumed();
+  if (consumed > len) return 0;
+  *nsym_out = i;
+  *log_out = log;
+  return consumed;
+}
+
+// Serialize normalized counts (inverse of fse_read_ncount).
+static void fse_write_ncount(BitWriter& bw, const i16* norm, int nsym, int log) {
+  bw.add(log - 5, 4);
+  int size = 1 << log;
+  int remaining = size + 1, threshold = size, nb = log + 1;
+  int i = 0;
+  while (remaining > 1) {
+    int count = norm[i];
+    int stored = count + 1;
+    int maxv = (2 * threshold - 1) - remaining;
+    if (stored < maxv) bw.add((u32)stored, nb - 1);
+    else {
+      int val = stored < threshold ? stored : stored + maxv;
+      bw.add((u32)val, nb);
+    }
+    remaining -= count < 0 ? -count : count;
+    i++;
+    if (count == 0 && remaining > 1) {
+      int run = 0;
+      while (i + run < nsym && norm[i + run] == 0) run++;
+      i += run;
+      while (run >= 3) { bw.add(3, 2); run -= 3; }
+      bw.add((u32)run, 2);
+    }
+    while (remaining < threshold) { nb--; threshold >>= 1; }
+  }
+}
+
+// Normalize histogram to sum 2^log (largest-remainder; -1 for rare symbols).
+static void fse_normalize(const u32* count, int nsym, u32 total, int log,
+                          i16* norm) {
+  int size = 1 << log;
+  u32 low = total >> log;
+  int distributed = 0;
+  u64 rest = 0;
+  for (int s = 0; s < nsym; s++) {
+    norm[s] = 0;
+    if (!count[s]) continue;
+    if (count[s] <= low) { norm[s] = -1; distributed++; }
+    else rest += count[s];
+  }
+  int slots = size - distributed;
+  if (slots <= 0 || rest == 0) {
+    // Degenerate: one slot each, biggest gets the rest.
+    int big = -1, nfill = 0;
+    for (int s = 0; s < nsym; s++)
+      if (count[s]) {
+        norm[s] = 1; nfill++;
+        if (big < 0 || count[s] > count[big]) big = s;
+      }
+    if (big >= 0) norm[big] += (i16)(size - nfill);
+    return;
+  }
+  int assigned = 0;
+  double best_frac[64]; int order[64]; int m = 0;
+  for (int s = 0; s < nsym; s++) {
+    if (norm[s] == -1 || !count[s]) continue;
+    double exact = (double)count[s] * slots / (double)rest;
+    int base = (int)exact; if (base < 1) base = 1;
+    norm[s] = (i16)base;
+    assigned += base;
+    best_frac[m] = exact - base; order[m] = s; m++;
+  }
+  int leftover = slots - assigned;
+  // Distribute (or strip) leftovers by largest remainder / smallest count.
+  while (leftover > 0) {
+    int bi = 0;
+    for (int j = 1; j < m; j++) if (best_frac[j] > best_frac[bi]) bi = j;
+    norm[order[bi]]++; best_frac[bi] -= 1.0; leftover--;
+  }
+  while (leftover < 0) {
+    int bi = -1;
+    for (int j = 0; j < m; j++)
+      if (norm[order[j]] > 1 && (bi < 0 || count[order[j]] < count[order[bi]])) bi = j;
+    if (bi < 0) break;
+    norm[order[bi]]--; leftover++;
+  }
+}
+
+// -------------------------------------------------------------- Huffman ---
+
+static const int HUF_MAX_BITS = 11;
+
+struct HufDecTable {
+  int max_bits = 0;
+  u8 symbol[1 << HUF_MAX_BITS];
+  u8 nbits[1 << HUF_MAX_BITS];
+};
+
+// Build decode table from explicit weights (last weight already included).
+static bool huf_build_dec(const u8* weights, int nsym, HufDecTable* t) {
+  u32 total = 0;
+  for (int s = 0; s < nsym; s++) total += weights[s] ? (1u << (weights[s] - 1)) : 0;
+  if (!total || (total & (total - 1))) return false;
+  int max_bits = highbit(total);
+  if (max_bits > HUF_MAX_BITS) return false;
+  t->max_bits = max_bits;
+  int size = 1 << max_bits;
+  int rank_start[HUF_MAX_BITS + 2] = {0};
+  int rank_count[HUF_MAX_BITS + 2] = {0};
+  for (int s = 0; s < nsym; s++) rank_count[weights[s]]++;
+  int pos = 0;
+  for (int w = 1; w <= max_bits + 1; w++) { rank_start[w] = pos; pos += rank_count[w] << (w - 1); }
+  if (pos != size) return false;
+  for (int s = 0; s < nsym; s++) {
+    int w = weights[s];
+    if (!w) continue;
+    int len = 1 << (w - 1);
+    int st = rank_start[w];
+    memset(t->symbol + st, s, len);
+    memset(t->nbits + st, max_bits + 1 - w, len);
+    rank_start[w] += len;
+  }
+  return true;
+}
+
+// Package-merge optimal length-limited code lengths. freqs over 0..255.
+static int huf_lengths(const u32* freqs, u8* lengths /*256*/, int max_len) {
+  struct Item { u64 cost; u32 count[8]; };  // count: per-symbol bitset chunks? too big
+  // Simpler: store symbol lists via indices into a pool.
+  int syms[256], nsym = 0;
+  for (int s = 0; s < 256; s++) { lengths[s] = 0; if (freqs[s]) syms[nsym++] = s; }
+  if (nsym == 0) return 0;
+  if (nsym == 1) { lengths[syms[0]] = 1; return 1; }
+  // originals sorted by (freq, symbol)
+  std::vector<std::pair<u64,int>> orig;
+  orig.reserve(nsym);
+  for (int i = 0; i < nsym; i++) orig.push_back({((u64)freqs[syms[i]] << 16) | syms[i], syms[i]});
+  std::sort(orig.begin(), orig.end());
+  // nodes: cost + vector of symbols (flattened via small vectors)
+  struct Node { u64 cost; std::vector<u16> symv; };
+  std::vector<Node> prev;
+  for (int level = 0; level < max_len; level++) {
+    std::vector<Node> packages;
+    for (size_t i = 0; i + 1 < prev.size(); i += 2) {
+      Node n;
+      n.cost = prev[i].cost + prev[i + 1].cost;
+      n.symv = prev[i].symv;
+      n.symv.insert(n.symv.end(), prev[i + 1].symv.begin(), prev[i + 1].symv.end());
+      packages.push_back(std::move(n));
+    }
+    std::vector<Node> cur;
+    size_t ai = 0, pi = 0;
+    while (ai < orig.size() || pi < packages.size()) {
+      u64 ac = ai < orig.size() ? (orig[ai].first >> 16) : UINT64_MAX;
+      u64 pc = pi < packages.size() ? packages[pi].cost : UINT64_MAX;
+      if (ac <= pc) {
+        Node n; n.cost = ac; n.symv.push_back((u16)orig[ai].second);
+        cur.push_back(std::move(n)); ai++;
+      } else {
+        cur.push_back(std::move(packages[pi])); pi++;
+      }
+    }
+    prev = std::move(cur);
+  }
+  int take = 2 * nsym - 2;
+  for (int i = 0; i < take && i < (int)prev.size(); i++)
+    for (u16 s : prev[i].symv) lengths[s]++;
+  int maxl = 0;
+  for (int s = 0; s < 256; s++) if (lengths[s] > maxl) maxl = lengths[s];
+  return maxl;
+}
+
+struct HufEncTable {
+  u16 codes[256];
+  u8 nbits[256];
+  u8 weights[256];  // by symbol
+  int max_bits = 0;
+  int last_sym = 0;
+};
+
+static bool huf_build_enc(const u32* freqs, HufEncTable* t) {
+  u8 lengths[256];
+  int maxl = huf_lengths(freqs, lengths, HUF_MAX_BITS);
+  if (maxl == 0) return false;
+  memset(t->weights, 0, 256);
+  memset(t->nbits, 0, 256);
+  int last = 0;
+  for (int s = 0; s < 256; s++)
+    if (lengths[s]) { t->weights[s] = (u8)(maxl + 1 - lengths[s]); last = s; }
+  t->last_sym = last;
+  t->max_bits = maxl;
+  // canonical codes: rank positions by weight ascending
+  int rank_start[HUF_MAX_BITS + 2] = {0};
+  int rank_count[HUF_MAX_BITS + 2] = {0};
+  for (int s = 0; s < 256; s++) rank_count[t->weights[s]]++;
+  rank_count[0] = 0;
+  int pos = 0;
+  for (int w = 1; w <= maxl + 1; w++) { rank_start[w] = pos; pos += rank_count[w] << (w - 1); }
+  if (pos != (1 << maxl)) return false;
+  for (int s = 0; s < 256; s++) {
+    int w = t->weights[s];
+    if (!w) continue;
+    t->codes[s] = (u16)(rank_start[w] >> (w - 1));
+    t->nbits[s] = (u8)(maxl + 1 - w);
+    rank_start[w] += 1 << (w - 1);
+  }
+  return true;
+}
+
+// Serialize weights: FSE-compressed when it pays, else direct nibbles.
+// Returns false if not serializable.
+static bool huf_write_weights(std::vector<u8>& out, const HufEncTable* t) {
+  int n = t->last_sym;  // weights for symbols 0..last-1; last is implied
+  // Try FSE compression of the weight stream (max symbol 15, log <= 6).
+  if (n > 1) {
+    u32 wfreq[16] = {0};
+    int distinct = 0;
+    for (int s = 0; s < n; s++) wfreq[t->weights[s]]++;
+    for (int v = 0; v < 16; v++) if (wfreq[v]) distinct++;
+    if (distinct >= 2) {
+      int log = 6;
+      while (log > 5 && (1 << (log - 1)) >= n) log--;  // small inputs: smaller table
+      i16 norm[16];
+      int max_sym = 0;
+      for (int v = 0; v < 16; v++) if (wfreq[v]) max_sym = v;
+      fse_normalize(wfreq, max_sym + 1, (u32)n, log, norm);
+      FseEncTable ft;
+      if (fse_build_enc(norm, max_sym + 1, log, &ft)) {
+        std::vector<u8> payload;
+        BitWriter bw(&payload);
+        fse_write_ncount(bw, norm, max_sym + 1, log);
+        bw.align_no_sentinel();
+        // two interleaved chains (see codec/fse.py fse_compress)
+        const u8* w = t->weights;
+        int m1 = (n + 1) / 2, m2 = n / 2;
+        FseEncState s1, s2;
+        int top;
+        if (n & 1) {
+          s1.init(&ft, w[2 * (m1 - 1)]);
+          s2.init(&ft, w[2 * (m2 - 1) + 1]);
+          s1.encode(bw, w[2 * (m1 - 2)]);
+          top = m2 - 1;
+        } else {
+          s2.init(&ft, w[2 * (m2 - 1) + 1]);
+          s1.init(&ft, w[2 * (m1 - 1)]);
+          top = m1 - 1;
+        }
+        for (int r = top - 1; r >= 0; r--) {
+          s2.encode(bw, w[2 * r + 1]);
+          s1.encode(bw, w[2 * r]);
+        }
+        s2.flush(bw);
+        s1.flush(bw);
+        bw.finish();
+        if ((int)payload.size() < 128 && (int)payload.size() < (n + 1) / 2 + 1) {
+          // Self-check: decode back (the stream-implied length must match).
+          // Cheap: decode with two states.
+          i16 norm2[16]; int ns2, log2;
+          size_t c = fse_read_ncount(payload.data(), payload.size(), 15, 6, norm2, &ns2, &log2);
+          bool okw = c > 0;
+          if (okw) {
+            FseDecTable dt;
+            okw = fse_build_dec(norm2, ns2, log2, &dt);
+            if (okw) {
+              BitReaderBack br(payload.data() + c, payload.size() - c);
+              int st1 = (int)br.read(dt.log), st2 = (int)br.read(dt.log);
+              u8 back[256]; int k = 0;
+              bool done = false;
+              while (!done && k < 255) {
+                back[k++] = dt.symbol[st1];
+                st1 = dt.baseline[st1] + (int)br.read(dt.nbits[st1]);
+                if (br.rem < 0) { back[k++] = dt.symbol[st2]; break; }
+                back[k++] = dt.symbol[st2];
+                st2 = dt.baseline[st2] + (int)br.read(dt.nbits[st2]);
+                if (br.rem < 0) { back[k++] = dt.symbol[st1]; break; }
+              }
+              okw = (k == n) && !memcmp(back, t->weights, n);
+            }
+          }
+          if (okw) {
+            out.push_back((u8)payload.size());
+            out.insert(out.end(), payload.begin(), payload.end());
+            return true;
+          }
+        }
+      }
+    }
+  }
+  if (n > 128) return false;  // direct header caps at 127 + 128
+  out.push_back((u8)(127 + n));
+  for (int i = 0; i < n; i += 2) {
+    u8 hi = (u8)(t->weights[i] << 4);
+    u8 lo = (i + 1 < n) ? t->weights[i + 1] : 0;
+    out.push_back(hi | lo);
+  }
+  return true;
+}
+
+static inline void huf_encode_stream(std::vector<u8>& out, const u8* src,
+                                     size_t n, const HufEncTable* t) {
+  BitWriter bw(&out);
+  for (size_t i = n; i-- > 0;) bw.add(t->codes[src[i]], t->nbits[src[i]]);
+  bw.finish();
+}
+
+// ------------------------------------------------- sequence code tables ---
+
+static const u32 LL_BASE[36] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536};
+static const u8 LL_BITS[36] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                               1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11,
+                               12, 13, 14, 15, 16};
+static const u32 ML_BASE[53] = {
+    3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539};
+static const u8 ML_BITS[53] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                               0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                               1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                               11, 12, 13, 14, 15, 16};
+
+static const i16 LL_DEF_NORM[36] = {4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+                                    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+                                    -1, -1, -1, -1};
+static const i16 ML_DEF_NORM[53] = {1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                                    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                                    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+                                    -1, -1, -1, -1, -1};
+static const i16 OF_DEF_NORM[29] = {1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                                    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1};
+
+static inline int ll_code(u32 ll) {
+  if (ll < 16) return (int)ll;
+  int hb = highbit(ll);
+  static const int tbl[32] = {0};
+  (void)tbl;
+  // codes 16..35 cover baselines 16,18,...; binary search LL_BASE
+  int lo = 16, hi = 35;
+  while (lo < hi) { int mid = (lo + hi + 1) >> 1; if (LL_BASE[mid] <= ll) lo = mid; else hi = mid - 1; }
+  (void)hb;
+  return lo;
+}
+static inline int ml_code(u32 ml) {
+  if (ml < 35) return (int)(ml - 3);
+  int lo = 32, hi = 52;
+  while (lo < hi) { int mid = (lo + hi + 1) >> 1; if (ML_BASE[mid] <= ml) lo = mid; else hi = mid - 1; }
+  return lo;
+}
+
+// Global predefined encode/decode tables (built once).
+static FseEncTable g_ll_def_enc, g_ml_def_enc, g_of_def_enc;
+static FseDecTable g_ll_def_dec, g_ml_def_dec, g_of_def_dec;
+static bool g_defaults_ready = false;
+static void ensure_defaults() {
+  if (g_defaults_ready) return;
+  fse_build_enc(LL_DEF_NORM, 36, 6, &g_ll_def_enc);
+  fse_build_enc(ML_DEF_NORM, 53, 6, &g_ml_def_enc);
+  fse_build_enc(OF_DEF_NORM, 29, 5, &g_of_def_enc);
+  fse_build_dec(LL_DEF_NORM, 36, 6, &g_ll_def_dec);
+  fse_build_dec(ML_DEF_NORM, 53, 6, &g_ml_def_dec);
+  fse_build_dec(OF_DEF_NORM, 29, 5, &g_of_def_dec);
+  g_defaults_ready = true;
+}
+
+// ------------------------------------------------------------- encoder ----
+
+struct Seq { u32 ll, ml, ov; };  // ov = offset_value (repcodes 1..3 or off+3)
+
+// Greedy fast matcher: 6-byte-hash table (depth 1) + rep check + backward
+// extension (the native twin of codec/match.py's fast levels).
+struct Matcher {
+  std::vector<i32> table;   // 1 << HASHLOG
+  std::vector<i32> table2;  // long-hash table (16 bytes sampled)
+  static const int HASHLOG = 17;
+  Matcher() : table(1 << HASHLOG, -1), table2(1 << HASHLOG, -1) {}
+  void reset() {
+    std::fill(table.begin(), table.end(), -1);
+    std::fill(table2.begin(), table2.end(), -1);
+  }
+  static inline u32 hash6(const u8* p) {
+    u64 v = read64(p) & 0xFFFFFFFFFFFFULL;
+    return (u32)((v * 0xCF1BBCDCB7A56463ULL) >> (64 - HASHLOG));
+  }
+  static inline u32 hash16(const u8* p) {
+    u64 v = read64(p) * 0x9E3779B185EBCA87ULL ^ read64(p + 8) * 0xC2B2AE3D27D4EB4FULL;
+    return (u32)((v * 0x2545F4914F6CDD1DULL) >> (64 - HASHLOG));
+  }
+};
+
+static inline u32 match_len(const u8* a, const u8* b, const u8* limit) {
+  const u8* start = a;
+  while (a + 8 <= limit) {
+    u64 d = read64(a) ^ read64(b);
+    if (d) return (u32)(a - start) + (__builtin_ctzll(d) >> 3);
+    a += 8; b += 8;
+  }
+  while (a < limit && *a == *b) { a++; b++; }
+  return (u32)(a - start);
+}
+
+// Parse one block [src+pos, src+pos+len) with history src[0..pos+len).
+// reps in/out mirror the decoder. Appends to seqs/lits.
+static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
+                        u32 reps[3], std::vector<Seq>& seqs,
+                        std::vector<u8>& lits) {
+  const u8* base = src;
+  const u8* ip = src + pos;
+  const u8* iend = ip + len;
+  const u8* anchor = ip;
+  const u8* mlimit = iend;
+  if (len < 16) { lits.insert(lits.end(), ip, iend); return; }
+  const u8* search_end = iend - 8;
+
+  while (ip < search_end) {
+    u32 best_len = 0, best_off = 0;
+    size_t cur = (size_t)(ip - base);
+    // rep probe
+    u32 r1 = reps[0];
+    if (cur >= r1 && read32(ip) == read32(ip - r1)) {
+      best_len = match_len(ip, ip - r1, mlimit);
+      best_off = r1;
+    }
+    u32 h = Matcher::hash6(ip);
+    i32 cand = M.table[h];
+    M.table[h] = (i32)cur;
+    u32 h2 = Matcher::hash16(ip);
+    i32 cand2 = M.table2[h2];
+    M.table2[h2] = (i32)cur;
+    if (cand >= 0 && read32(base + cand) == read32(ip)) {
+      u32 l = match_len(ip, base + cand, mlimit);
+      if (l > best_len) { best_len = l; best_off = (u32)(cur - cand); }
+    }
+    if (cand2 >= 0 && cand2 != cand && read32(base + cand2) == read32(ip)) {
+      u32 l = match_len(ip, base + cand2, mlimit);
+      if (l > best_len) { best_len = l; best_off = (u32)(cur - cand2); }
+    }
+    if (best_len < 4 ||
+        (best_off != reps[0] && 6 * (int)best_len < 14 + highbit(best_off) + 1)) {
+      ip++;
+      continue;
+    }
+    // backward extension
+    while (ip > anchor && (size_t)(ip - base) > best_off &&
+           ip[-1] == *(ip - best_off - 1)) {
+      ip--; best_len++;
+    }
+    u32 ll = (u32)(ip - anchor);
+    lits.insert(lits.end(), anchor, ip);
+    // offset_value + rep update (encoder mirror of the decoder rules)
+    u32 ov;
+    u32 r2 = reps[1], r3 = reps[2];
+    if (ll != 0) {
+      if (best_off == reps[0]) ov = 1;
+      else if (best_off == r2) { ov = 2; reps[1] = reps[0]; reps[0] = best_off; }
+      else if (best_off == r3) { ov = 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+      else { ov = best_off + 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+    } else {
+      if (best_off == r2) { ov = 1; reps[1] = reps[0]; reps[0] = best_off; }
+      else if (best_off == r3) { ov = 2; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+      else if (best_off + 1 == reps[0] && best_off != 0) { ov = 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+      else { ov = best_off + 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+    }
+    seqs.push_back({ll, best_len, ov});
+    // index interior sparsely
+    const u8* mend = ip + best_len;
+    const u8* stop = mend < search_end ? mend : search_end;
+    int stride = best_len < 64 ? 1 : 2;
+    for (const u8* q = ip + 1; q < stop; q += stride) {
+      size_t qo = (size_t)(q - base);
+      M.table[Matcher::hash6(q)] = (i32)qo;
+      M.table2[Matcher::hash16(q)] = (i32)qo;
+    }
+    ip = mend;
+    anchor = ip;
+  }
+  lits.insert(lits.end(), anchor, iend);
+}
+
+// ------------------------------------------------- block/frame assembly ---
+
+// Cost of coding `hist` with table norm/log (predefined) vs dedicated.
+static double fse_cost_bits(const u32* hist, int nsym, const i16* norm,
+                            int norm_n, int log, bool* usable) {
+  double bits = 0;
+  *usable = true;
+  for (int s = 0; s < nsym; s++) {
+    if (!hist[s]) continue;
+    if (s >= norm_n || norm[s] == 0) { *usable = false; return 0; }
+    double p = norm[s] > 0 ? (double)norm[s] : 0.5;
+    bits += hist[s] * (log - log2(p));
+  }
+  return bits;
+}
+
+struct CatChoice {
+  int mode;  // 0 predef, 1 rle, 2 fse
+  FseEncTable dedicated;
+  const FseEncTable* table;
+  u8 rle_sym;
+  std::vector<u8> desc;
+};
+
+static void choose_table(const int* codes, size_t n, int max_code,
+                         const i16* def_norm, int def_n, int def_log,
+                         const FseEncTable* def_table, int max_log,
+                         CatChoice* out) {
+  u32 hist[64] = {0};
+  for (size_t i = 0; i < n; i++) hist[codes[i]]++;
+  int distinct = 0, only = 0, max_present = 0;
+  for (int s = 0; s <= max_code; s++)
+    if (hist[s]) { distinct++; only = s; max_present = s; }
+  if (distinct == 1) {
+    out->mode = 1;
+    out->rle_sym = (u8)only;
+    out->desc.assign(1, (u8)only);
+    static FseEncTable rle_tab;  // per-call rebuild below (cheap)
+    i16 norm[64] = {0};
+    norm[only] = 1;
+    fse_build_enc(norm, only + 1, 0, &out->dedicated);
+    out->table = &out->dedicated;
+    return;
+  }
+  bool pred_ok;
+  double pred_bits = fse_cost_bits(hist, max_code + 1, def_norm, def_n, def_log, &pred_ok);
+  // dedicated table
+  int log = max_log;
+  while (log > 5 && (u32)(1 << (log - 1)) > n) log--;
+  i16 norm[64];
+  fse_normalize(hist, max_present + 1, (u32)n, log, norm);
+  std::vector<u8> desc;
+  BitWriter bw(&desc);
+  fse_write_ncount(bw, norm, max_present + 1, log);
+  bw.align_no_sentinel();
+  bool ded_ok;
+  double ded_bits = fse_cost_bits(hist, max_present + 1, norm, max_present + 1, log, &ded_ok) +
+                    8.0 * desc.size();
+  if (pred_ok && (!ded_ok || pred_bits <= ded_bits)) {
+    out->mode = 0;
+    out->table = def_table;
+    out->desc.clear();
+    return;
+  }
+  out->mode = 2;
+  fse_build_enc(norm, max_present + 1, log, &out->dedicated);
+  out->table = &out->dedicated;
+  out->desc = std::move(desc);
+}
+
+static void write_literals_section(std::vector<u8>& out, const u8* lits, size_t n) {
+  auto raw_header = [&](size_t sz) {
+    if (sz < 32) out.push_back((u8)(0 | (sz << 3)));
+    else if (sz < (1u << 12)) {
+      u32 v = 0 | (1u << 2) | ((u32)sz << 4);
+      out.push_back((u8)v); out.push_back((u8)(v >> 8));
+    } else {
+      u32 v = 0 | (3u << 2) | ((u32)sz << 4);
+      out.push_back((u8)v); out.push_back((u8)(v >> 8)); out.push_back((u8)(v >> 16));
+    }
+  };
+  if (n == 0) { raw_header(0); return; }
+  bool all_same = true;
+  for (size_t i = 1; i < n && all_same; i++) all_same = lits[i] == lits[0];
+  if (all_same) {
+    size_t sz = n;
+    if (sz < 32) out.push_back((u8)(1 | (sz << 3)));
+    else if (sz < (1u << 12)) {
+      u32 v = 1 | (1u << 2) | ((u32)sz << 4);
+      out.push_back((u8)v); out.push_back((u8)(v >> 8));
+    } else {
+      u32 v = 1 | (3u << 2) | ((u32)sz << 4);
+      out.push_back((u8)v); out.push_back((u8)(v >> 8)); out.push_back((u8)(v >> 16));
+    }
+    out.push_back(lits[0]);
+    return;
+  }
+  if (n >= 64) {
+    u32 freqs[256] = {0};
+    for (size_t i = 0; i < n; i++) freqs[lits[i]]++;
+    HufEncTable t;
+    if (huf_build_enc(freqs, &t)) {
+      std::vector<u8> payload;
+      if (huf_write_weights(payload, &t)) {
+        bool four = n >= 256;
+        if (four) {
+          size_t seg = (n + 3) / 4;
+          std::vector<u8> s1, s2, s3, s4;
+          huf_encode_stream(s1, lits, seg, &t);
+          huf_encode_stream(s2, lits + seg, seg, &t);
+          huf_encode_stream(s3, lits + 2 * seg, seg, &t);
+          huf_encode_stream(s4, lits + 3 * seg, n - 3 * seg, &t);
+          if (s1.size() <= 0xFFFF && s2.size() <= 0xFFFF && s3.size() <= 0xFFFF) {
+            payload.push_back((u8)s1.size()); payload.push_back((u8)(s1.size() >> 8));
+            payload.push_back((u8)s2.size()); payload.push_back((u8)(s2.size() >> 8));
+            payload.push_back((u8)s3.size()); payload.push_back((u8)(s3.size() >> 8));
+            payload.insert(payload.end(), s1.begin(), s1.end());
+            payload.insert(payload.end(), s2.begin(), s2.end());
+            payload.insert(payload.end(), s3.begin(), s3.end());
+            payload.insert(payload.end(), s4.begin(), s4.end());
+          } else four = false;
+        }
+        if (!four) {
+          huf_encode_stream(payload, lits, n, &t);
+        }
+        size_t comp = payload.size();
+        // header size formats for Compressed_Literals (type 2)
+        size_t hdr_len;
+        u64 v;
+        if (!four && n < (1u << 10) && comp < (1u << 10)) {
+          v = 2 | (0u << 2) | ((u64)n << 4) | ((u64)comp << 14); hdr_len = 3;
+        } else if (four && n < (1u << 10) && comp < (1u << 10)) {
+          v = 2 | (1u << 2) | ((u64)n << 4) | ((u64)comp << 14); hdr_len = 3;
+        } else if (four && n < (1u << 14) && comp < (1u << 14)) {
+          v = 2 | (2u << 2) | ((u64)n << 4) | ((u64)comp << 18); hdr_len = 4;
+        } else if (four && n < (1u << 18) && comp < (1u << 18)) {
+          v = 2 | (3u << 2) | ((u64)n << 4) | ((u64)comp << 22); hdr_len = 5;
+        } else {
+          hdr_len = 0;
+        }
+        if (hdr_len && hdr_len + comp < n + (n < 32 ? 1 : (n < 4096 ? 2 : 3))) {
+          for (size_t i = 0; i < hdr_len; i++) out.push_back((u8)(v >> (8 * i)));
+          out.insert(out.end(), payload.begin(), payload.end());
+          return;
+        }
+      }
+    }
+  }
+  raw_header(n);
+  out.insert(out.end(), lits, lits + n);
+}
+
+static void write_sequences_section(std::vector<u8>& out,
+                                    const std::vector<Seq>& seqs) {
+  ensure_defaults();
+  size_t n = seqs.size();
+  if (n < 128) out.push_back((u8)n);
+  else if (n < 0x7F00) { out.push_back((u8)((n >> 8) + 128)); out.push_back((u8)n); }
+  else {
+    size_t v = n - 0x7F00;
+    out.push_back(255); out.push_back((u8)v); out.push_back((u8)(v >> 8));
+  }
+  if (n == 0) return;
+
+  std::vector<int> llc(n), mlc(n), ofc(n);
+  for (size_t i = 0; i < n; i++) {
+    llc[i] = ll_code(seqs[i].ll);
+    mlc[i] = ml_code(seqs[i].ml);
+    ofc[i] = highbit(seqs[i].ov);
+  }
+  CatChoice ll, of, ml;
+  choose_table(llc.data(), n, 35, LL_DEF_NORM, 36, 6, &g_ll_def_enc, 9, &ll);
+  choose_table(ofc.data(), n, 31, OF_DEF_NORM, 29, 5, &g_of_def_enc, 8, &of);
+  choose_table(mlc.data(), n, 52, ML_DEF_NORM, 53, 6, &g_ml_def_enc, 9, &ml);
+  out.push_back((u8)((ll.mode == 2 ? 2 : ll.mode == 1 ? 1 : 0) << 6 |
+                     (of.mode == 2 ? 2 : of.mode == 1 ? 1 : 0) << 4 |
+                     (ml.mode == 2 ? 2 : ml.mode == 1 ? 1 : 0) << 2));
+  out.insert(out.end(), ll.desc.begin(), ll.desc.end());
+  out.insert(out.end(), of.desc.begin(), of.desc.end());
+  out.insert(out.end(), ml.desc.begin(), ml.desc.end());
+
+  BitWriter bw(&out);
+  size_t last = n - 1;
+  FseEncState mls_, ofs_, lls_;
+  mls_.init(ml.table, mlc[last]);
+  ofs_.init(of.table, ofc[last]);
+  lls_.init(ll.table, llc[last]);
+  auto add_extras = [&](size_t i) {
+    bw.add(seqs[i].ll - LL_BASE[llc[i]], LL_BITS[llc[i]]);
+    bw.add(seqs[i].ml - ML_BASE[mlc[i]], ML_BITS[mlc[i]]);
+    bw.add(seqs[i].ov - (1u << ofc[i]), ofc[i]);
+  };
+  add_extras(last);
+  for (size_t i = n - 1; i-- > 0;) {
+    ofs_.encode(bw, ofc[i]);
+    mls_.encode(bw, mlc[i]);
+    lls_.encode(bw, llc[i]);
+    add_extras(i);
+  }
+  mls_.flush(bw);
+  ofs_.flush(bw);
+  lls_.flush(bw);
+  bw.finish();
+}
+
+// Frame header writer: window descriptor + 1-8 byte FCS (mirrors
+// codec/frame.py write_frame_header, non-single-segment form).
+static void write_frame_header(std::vector<u8>& out, u64 content_size,
+                               u64 window_size, bool checksum) {
+  out.push_back(0x28); out.push_back(0xB5); out.push_back(0x2F); out.push_back(0xFD);
+  u8 fhd = checksum ? 0x04 : 0x00;
+  int exponent = highbit((u32)(window_size >> 10)) + 10;
+  if ((1ULL << exponent) > window_size) exponent--;
+  u64 base = 1ULL << exponent;
+  int mantissa = 0;
+  if (base < window_size) {
+    mantissa = (int)(((window_size - base) * 8 + base - 1) / base);
+    if (mantissa > 7) { exponent++; mantissa = 0; }
+  }
+  int fcs_flag; int fcs_bytes;
+  u64 fcs_val = content_size;
+  if (content_size >= 256 && content_size <= 0xFFFFULL + 256) {
+    fcs_flag = 1; fcs_bytes = 2; fcs_val = content_size - 256;
+  } else if (content_size <= 0xFFFFFFFFULL) {
+    fcs_flag = 2; fcs_bytes = 4;
+  } else { fcs_flag = 3; fcs_bytes = 8; }
+  fhd |= (u8)(fcs_flag << 6);
+  out.push_back(fhd);
+  out.push_back((u8)(((exponent - 10) << 3) | mantissa));
+  for (int i = 0; i < fcs_bytes; i++) out.push_back((u8)(fcs_val >> (8 * i)));
+}
+
+static const size_t BLOCK_MAX = 1 << 17;
+
+extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
+                                    size_t cap, int level, int checksum,
+                                    const u8* prefix, size_t prefix_n) {
+  (void)level;
+  ensure_defaults();
+  std::vector<u8> out;
+  out.reserve(n / 2 + 256);
+  u64 window = n + prefix_n; if (window < 1024) window = 1024;
+  write_frame_header(out, n, window, checksum != 0);
+
+  // Concatenate prefix + data as the match window.
+  std::vector<u8> buf;
+  const u8* base;
+  if (prefix_n) {
+    buf.resize(prefix_n + n);
+    memcpy(buf.data(), prefix, prefix_n);
+    memcpy(buf.data() + prefix_n, src, n);
+    base = buf.data();
+  } else {
+    base = src;
+  }
+
+  Matcher M;
+  if (prefix_n) {
+    // Index the prefix so matches can reach into it.
+    const u8* p = base;
+    const u8* pe = base + (prefix_n > 8 ? prefix_n - 8 : 0);
+    for (; p < pe; p++) {
+      M.table[Matcher::hash6(p)] = (i32)(p - base);
+      M.table2[Matcher::hash16(p)] = (i32)(p - base);
+    }
+  }
+  u32 reps[3] = {1, 4, 8};
+  std::vector<Seq> seqs;
+  std::vector<u8> lits;
+  size_t pos = 0;
+  size_t nblocks = n ? (n + BLOCK_MAX - 1) / BLOCK_MAX : 1;
+  for (size_t b = 0; b < nblocks; b++) {
+    size_t blen = std::min(BLOCK_MAX, n - pos);
+    bool last = b == nblocks - 1;
+    const u8* bp = src + pos;
+    // RLE block?
+    bool rle = blen > 0;
+    for (size_t i = 1; i < blen && rle; i++) rle = bp[i] == bp[0];
+    if (rle && blen > 1) {
+      u32 h = (u32)((blen << 3) | (1u << 1) | (last ? 1 : 0));
+      out.push_back((u8)h); out.push_back((u8)(h >> 8)); out.push_back((u8)(h >> 16));
+      out.push_back(bp[0]);
+      pos += blen;
+      continue;
+    }
+    seqs.clear();
+    lits.clear();
+    u32 reps_in[3] = {reps[0], reps[1], reps[2]};
+    parse_block(base, prefix_n + pos, blen, M, reps, seqs, lits);
+    std::vector<u8> body;
+    write_literals_section(body, lits.data(), lits.size());
+    write_sequences_section(body, seqs);
+    if (body.size() >= blen || body.size() >= (1u << 21)) {
+      // raw fallback; repeat history must not advance
+      reps[0] = reps_in[0]; reps[1] = reps_in[1]; reps[2] = reps_in[2];
+      u32 h = (u32)((blen << 3) | (0u << 1) | (last ? 1 : 0));
+      out.push_back((u8)h); out.push_back((u8)(h >> 8)); out.push_back((u8)(h >> 16));
+      out.insert(out.end(), bp, bp + blen);
+    } else {
+      u32 h = (u32)((body.size() << 3) | (2u << 1) | (last ? 1 : 0));
+      out.push_back((u8)h); out.push_back((u8)(h >> 8)); out.push_back((u8)(h >> 16));
+      out.insert(out.end(), body.begin(), body.end());
+    }
+    pos += blen;
+  }
+  if (checksum) {
+    u32 c = (u32)zn_xxh64(src, n, 0);
+    out.push_back((u8)c); out.push_back((u8)(c >> 8));
+    out.push_back((u8)(c >> 16)); out.push_back((u8)(c >> 24));
+  }
+  if (out.size() > cap) return (size_t)-1;
+  memcpy(dst, out.data(), out.size());
+  return out.size();
+}
+
+// ------------------------------------------------------------- decoder ----
+
+struct DecCtx {
+  FseDecTable ll, of, ml;
+  bool ll_ok = false, of_ok = false, ml_ok = false;
+  HufDecTable huf;
+  bool huf_ok = false;
+};
+
+// Reads one symbol table per its mode; returns bytes consumed or -1.
+static ptrdiff_t read_symbol_table(const u8* p, size_t len, int mode,
+                                   int max_code, int max_log,
+                                   const FseDecTable* def, FseDecTable* slot,
+                                   bool* have, const FseDecTable** out) {
+  if (mode == 0) { *out = def; return 0; }
+  if (mode == 1) {
+    if (!len) return -1;
+    int sym = p[0];
+    if (sym > max_code) return -1;
+    slot->log = 0;
+    slot->symbol[0] = (u8)sym;
+    slot->nbits[0] = 0;
+    slot->baseline[0] = 0;
+    *have = true;
+    *out = slot;
+    return 1;
+  }
+  if (mode == 2) {
+    i16 norm[64]; int nsym, log;
+    size_t c = fse_read_ncount(p, len, max_code, max_log, norm, &nsym, &log);
+    if (!c) return -1;
+    if (!fse_build_dec(norm, nsym, log, slot)) return -1;
+    *have = true;
+    *out = slot;
+    return (ptrdiff_t)c;
+  }
+  if (!*have) return -1;
+  *out = slot;
+  return 0;
+}
+
+// Decompress one frame at src; returns output size or -1; *consumed set.
+extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
+                                   size_t cap, const u8* prefix,
+                                   size_t prefix_n, size_t* consumed) {
+  ensure_defaults();
+  if (n < 4) return -1;
+  u32 magic = read32(src);
+  if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {  // skippable
+    if (n < 8) return -1;
+    u32 sz = read32(src + 4);
+    if (8 + (u64)sz > n) return -1;
+    *consumed = 8 + sz;
+    return 0;
+  }
+  if (magic != 0xFD2FB528u) return -1;
+  if (n < 6) return -1;
+  u8 fhd = src[4];
+  size_t pos = 5;
+  bool single = fhd & 0x20;
+  if (fhd & 0x08) return -1;
+  bool has_checksum = fhd & 0x04;
+  int did_bytes_tab[4] = {0, 1, 2, 4};
+  int did_bytes = did_bytes_tab[fhd & 3];
+  int fcs_flag = fhd >> 6;
+  if (!single) {
+    if (pos >= n) return -1;
+    pos++;  // window descriptor (we use the declared content size instead)
+  }
+  pos += did_bytes;
+  int fcs_bytes_tab[4] = {0, 2, 4, 8};
+  int fcs_bytes = fcs_bytes_tab[fcs_flag];
+  if (fcs_flag == 0 && single) fcs_bytes = 1;
+  u64 content_size = (u64)-1;
+  if (fcs_bytes) {
+    if (pos + fcs_bytes > n) return -1;
+    content_size = 0;
+    for (int i = 0; i < fcs_bytes; i++) content_size |= (u64)src[pos + i] << (8 * i);
+    if (fcs_bytes == 2) content_size += 256;
+    pos += fcs_bytes;
+  }
+
+  // Window buffer: prefix + output (prefix enables patch apply).
+  // 32-byte slack allows branch-free 8/16-byte wild copies.
+  u64 est = content_size != (u64)-1 ? content_size : (u64)n * 16 + (1u << 20);
+  std::vector<u8> win;
+  win.resize(prefix_n + est + 64);
+  if (prefix_n) memcpy(win.data(), prefix, prefix_n);
+  u8* wp = win.data() + prefix_n;          // write head
+  u8* wlimit = win.data() + win.size() - 64;
+  const u8* wbase = win.data();
+
+  DecCtx ctx;
+  u32 reps[3] = {1, 4, 8};
+  std::vector<u8> lits;
+  for (;;) {
+    if (pos + 3 > n) return -1;
+    u32 bh = src[pos] | (src[pos + 1] << 8) | ((u32)src[pos + 2] << 16);
+    pos += 3;
+    bool last = bh & 1;
+    int btype = (bh >> 1) & 3;
+    size_t bsize = bh >> 3;
+    if (btype == 3) return -1;
+    if (btype == 0) {
+      if (pos + bsize > n || wp + bsize > wlimit) return -1;
+      memcpy(wp, src + pos, bsize);
+      wp += bsize;
+      pos += bsize;
+    } else if (btype == 1) {
+      if (pos >= n || wp + bsize > wlimit) return -1;
+      memset(wp, src[pos], bsize);
+      wp += bsize;
+      pos++;
+    } else {
+      if (pos + bsize > n || bsize > BLOCK_MAX + 32) return -1;
+      const u8* bp = src + pos;
+      size_t blen = bsize;
+      pos += bsize;
+      // literals section
+      if (!blen) return -1;
+      int lit_type = bp[0] & 3;
+      int size_format = (bp[0] >> 2) & 3;
+      size_t regen, compsz = 0, hlen;
+      bool four = false;
+      if (lit_type <= 1) {
+        if (size_format == 0 || size_format == 2) { regen = bp[0] >> 3; hlen = 1; }
+        else if (size_format == 1) {
+          if (blen < 2) return -1;
+          regen = (bp[0] >> 4) | ((size_t)bp[1] << 4); hlen = 2;
+        } else {
+          if (blen < 3) return -1;
+          regen = (bp[0] >> 4) | ((size_t)bp[1] << 4) | ((size_t)bp[2] << 12); hlen = 3;
+        }
+      } else {
+        u64 v = 0;
+        if (size_format == 0) { hlen = 3; }
+        else if (size_format == 1) { hlen = 3; four = true; }
+        else if (size_format == 2) { hlen = 4; four = true; }
+        else { hlen = 5; four = true; }
+        if (blen < hlen) return -1;
+        for (size_t i = 0; i < hlen; i++) v |= (u64)bp[i] << (8 * i);
+        if (hlen == 3) { regen = (v >> 4) & 0x3FF; compsz = (v >> 14) & 0x3FF; }
+        else if (hlen == 4) { regen = (v >> 4) & 0x3FFF; compsz = (v >> 18) & 0x3FFF; }
+        else { regen = (v >> 4) & 0x3FFFF; compsz = (v >> 22) & 0x3FFFF; }
+      }
+      const u8* lp = bp + hlen;
+      size_t lrem = blen - hlen;
+      lits.clear();
+      size_t lit_n = regen;
+      if (lit_type == 0) {
+        if (lrem < regen) return -1;
+        lits.assign(lp, lp + regen);
+        lp += regen; lrem -= regen;
+      } else if (lit_type == 1) {
+        if (lrem < 1) return -1;
+        lits.assign(regen, lp[0]);
+        lp += 1; lrem -= 1;
+      } else {
+        if (lrem < compsz) return -1;
+        const u8* payload = lp;
+        size_t prem = compsz;
+        lp += compsz; lrem -= compsz;
+        if (lit_type == 2) {
+          // Huffman tree description
+          if (!prem) return -1;
+          u8 hb = payload[0];
+          if (hb >= 128) {
+            int nw = hb - 127;
+            size_t nb = (nw + 1) / 2;
+            if (prem < 1 + nb) return -1;
+            u8 weights[256];
+            for (int i = 0; i < nw; i++) {
+              u8 byte = payload[1 + i / 2];
+              weights[i] = (i & 1) ? (byte & 0xF) : (byte >> 4);
+            }
+            // implied last weight
+            u32 total = 0;
+            for (int i = 0; i < nw; i++) total += weights[i] ? 1u << (weights[i] - 1) : 0;
+            if (!total) return -1;
+            int mb = highbit(total) + ((total & (total - 1)) ? 1 : 0);
+            u32 left = (1u << mb) - total;
+            if (!left || (left & (left - 1))) return -1;
+            weights[nw] = (u8)(highbit(left) + 1);
+            if (!huf_build_dec(weights, nw + 1, &ctx.huf)) return -1;
+            ctx.huf_ok = true;
+            payload += 1 + nb; prem -= 1 + nb;
+          } else {
+            // FSE-compressed weights
+            if (prem < 1u + hb) return -1;
+            i16 norm[16]; int nsym, log;
+            size_t c = fse_read_ncount(payload + 1, hb, 15, 6, norm, &nsym, &log);
+            if (!c) return -1;
+            FseDecTable wt;
+            if (!fse_build_dec(norm, nsym, log, &wt)) return -1;
+            BitReaderBack br(payload + 1 + c, hb - c);
+            if (!br.ok) return -1;
+            int s1 = (int)br.read(wt.log), s2 = (int)br.read(wt.log);
+            if (br.rem < 0) return -1;
+            u8 weights[257]; int k = 0;
+            for (;;) {
+              if (k > 254) return -1;
+              weights[k++] = wt.symbol[s1];
+              s1 = wt.baseline[s1] + (int)br.read(wt.nbits[s1]);
+              if (br.rem < 0) { weights[k++] = wt.symbol[s2]; break; }
+              weights[k++] = wt.symbol[s2];
+              s2 = wt.baseline[s2] + (int)br.read(wt.nbits[s2]);
+              if (br.rem < 0) { weights[k++] = wt.symbol[s1]; break; }
+            }
+            u32 total = 0;
+            for (int i = 0; i < k; i++) total += weights[i] ? 1u << (weights[i] - 1) : 0;
+            if (!total) return -1;
+            int mb = highbit(total) + ((total & (total - 1)) ? 1 : 0);
+            u32 left = (1u << mb) - total;
+            if (!left || (left & (left - 1))) return -1;
+            weights[k] = (u8)(highbit(left) + 1);
+            if (!huf_build_dec(weights, k + 1, &ctx.huf)) return -1;
+            ctx.huf_ok = true;
+            payload += 1 + hb; prem -= 1 + hb;
+          }
+        }
+        if (!ctx.huf_ok) return -1;
+        // streams
+        lits.resize(regen);
+        auto dec_stream = [&](const u8* sp, size_t sn, u8* op, size_t on) -> bool {
+          BitReaderBack br(sp, sn);
+          if (!br.ok) return false;
+          int mb = ctx.huf.max_bits;
+          for (size_t i = 0; i < on; i++) {
+            u32 idx = br.read(mb);
+            int nb2 = ctx.huf.nbits[idx];
+            br.rem += mb - nb2;
+            op[i] = ctx.huf.symbol[idx];
+          }
+          return br.rem == 0;
+        };
+        if (four) {
+          if (prem < 6) return -1;
+          size_t s1 = payload[0] | (payload[1] << 8);
+          size_t s2 = payload[2] | (payload[3] << 8);
+          size_t s3 = payload[4] | (payload[5] << 8);
+          if (6 + s1 + s2 + s3 > prem) return -1;
+          size_t s4 = prem - 6 - s1 - s2 - s3;
+          size_t seg = (regen + 3) / 4;
+          if (3 * seg > regen) {
+            if (regen < 3) return -1;
+          }
+          const u8* q = payload + 6;
+          if (!dec_stream(q, s1, lits.data(), seg)) return -1;
+          if (!dec_stream(q + s1, s2, lits.data() + seg, seg)) return -1;
+          if (!dec_stream(q + s1 + s2, s3, lits.data() + 2 * seg, seg)) return -1;
+          if (!dec_stream(q + s1 + s2 + s3, s4, lits.data() + 3 * seg, regen - 3 * seg)) return -1;
+        } else {
+          if (!dec_stream(payload, prem, lits.data(), regen)) return -1;
+        }
+      }
+      lits.resize(lit_n + 8);  // slack for 8-byte wild literal copies
+      // sequences
+      if (!lrem) return -1;
+      size_t nseq;
+      if (lp[0] < 128) { nseq = lp[0]; lp++; lrem--; }
+      else if (lp[0] < 255) {
+        if (lrem < 2) return -1;
+        nseq = ((size_t)(lp[0] - 128) << 8) + lp[1]; lp += 2; lrem -= 2;
+      } else {
+        if (lrem < 3) return -1;
+        nseq = lp[1] + ((size_t)lp[2] << 8) + 0x7F00; lp += 3; lrem -= 3;
+      }
+      if (nseq == 0) {
+        if (wp + lit_n > wlimit) return -1;
+        memcpy(wp, lits.data(), lit_n);
+        wp += lit_n;
+      } else {
+        if (!lrem) return -1;
+        u8 modes = lp[0];
+        if (modes & 3) return -1;
+        lp++; lrem--;
+        const FseDecTable *llt, *oft, *mlt;
+        ptrdiff_t c;
+        c = read_symbol_table(lp, lrem, (modes >> 6) & 3, 35, 9, &g_ll_def_dec, &ctx.ll, &ctx.ll_ok, &llt);
+        if (c < 0) return -1; lp += c; lrem -= c;
+        c = read_symbol_table(lp, lrem, (modes >> 4) & 3, 31, 8, &g_of_def_dec, &ctx.of, &ctx.of_ok, &oft);
+        if (c < 0) return -1; lp += c; lrem -= c;
+        c = read_symbol_table(lp, lrem, (modes >> 2) & 3, 52, 9, &g_ml_def_dec, &ctx.ml, &ctx.ml_ok, &mlt);
+        if (c < 0) return -1; lp += c; lrem -= c;
+
+        BitReaderBack br(lp, lrem);
+        if (!br.ok) return -1;
+        int ll_s = (int)br.read(llt->log);
+        int of_s = (int)br.read(oft->log);
+        int ml_s = (int)br.read(mlt->log);
+        if (br.rem < 0) return -1;
+        size_t lit_pos = 0;
+        for (size_t i = 0; i < nseq; i++) {
+          int of_code = oft->symbol[of_s];
+          int ml_code = mlt->symbol[ml_s];
+          int ll_code = llt->symbol[ll_s];
+          if (of_code > 31 || ml_code > 52 || ll_code > 35) return -1;
+          u32 ofv = (1u << of_code) + br.read(of_code);
+          u32 mlv = ML_BASE[ml_code] + br.read(ML_BITS[ml_code]);
+          u32 llv = LL_BASE[ll_code] + br.read(LL_BITS[ll_code]);
+          if (br.rem < 0) return -1;
+          u32 off;
+          if (ofv > 3) {
+            off = ofv - 3;
+            reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = off;
+          } else {
+            u32 idx2 = ofv + (llv == 0 ? 1 : 0);
+            if (idx2 == 1) off = reps[0];
+            else if (idx2 == 2) { off = reps[1]; reps[1] = reps[0]; reps[0] = off; }
+            else if (idx2 == 3) { off = reps[2]; reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = off; }
+            else {
+              off = reps[0] - 1;
+              if (!off) return -1;
+              reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = off;
+            }
+          }
+          if (i + 1 < nseq) {
+            ll_s = llt->baseline[ll_s] + (int)br.read(llt->nbits[ll_s]);
+            ml_s = mlt->baseline[ml_s] + (int)br.read(mlt->nbits[ml_s]);
+            of_s = oft->baseline[of_s] + (int)br.read(oft->nbits[of_s]);
+            if (br.rem < 0) return -1;
+          }
+          // execute (wild 8-byte copies into the slack region)
+          if (lit_pos + llv > lit_n) return -1;
+          if (wp + llv + mlv > wlimit) return -1;
+          {
+            const u8* q = lits.data() + lit_pos;
+            u8* o = wp;
+            for (size_t k = 0; k < llv; k += 8) memcpy(o + k, q + k, 8);
+            wp += llv;
+            lit_pos += llv;
+          }
+          if (mlv) {
+            if ((size_t)(wp - wbase) < off) return -1;
+            const u8* q = wp - off;
+            u8* o = wp;
+            wp += mlv;
+            if (off >= 8) {
+              for (u32 k = 0; k < mlv; k += 8) memcpy(o + k, q + k, 8);
+            } else {
+              for (u32 k = 0; k < mlv; k++) o[k] = q[k];
+            }
+          }
+        }
+        if (br.rem != 0) return -1;
+        if (lit_pos < lit_n) {
+          size_t rest = lit_n - lit_pos;
+          if (wp + rest > wlimit) return -1;
+          memcpy(wp, lits.data() + lit_pos, rest);
+          wp += rest;
+        }
+      }
+    }
+    if (last) break;
+  }
+  size_t out_n = (size_t)(wp - (win.data() + prefix_n));
+  if (has_checksum) {
+    if (pos + 4 > n) return -1;
+    u32 stored = read32(src + pos);
+    pos += 4;
+    u32 calc = (u32)zn_xxh64(win.data() + prefix_n, out_n, 0);
+    if (stored != calc) return -2;
+  }
+  if (content_size != (u64)-1 && out_n != content_size) return -1;
+  if (out_n > cap) return -1;
+  memcpy(dst, win.data() + prefix_n, out_n);
+  *consumed = pos;
+  return (i64)out_n;
+}
+
+// -------------------------------------------- multi-threaded stream API ---
+
+extern "C" i64 zn_compress_stream_mt(const u8* src, size_t n, u8* dst,
+                                     size_t cap, size_t frame_size,
+                                     int checksum, int nthreads,
+                                     u32* frame_csizes /* per frame out */) {
+  size_t nframes = n ? (n + frame_size - 1) / frame_size : 0;
+  std::vector<std::vector<u8>> results(nframes);
+  std::vector<size_t> starts(nframes);
+  for (size_t i = 0; i < nframes; i++) starts[i] = i * frame_size;
+  std::atomic_size_t next{0};
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= nframes) break;
+      size_t fn = std::min(frame_size, n - starts[i]);
+      results[i].resize(fn + fn / 2 + 512);
+      size_t r = zn_compress_frame(src + starts[i], fn, results[i].data(),
+                                   results[i].size(), 1, checksum, nullptr, 0);
+      if (r == (size_t)-1) { results[i].clear(); }
+      else results[i].resize(r);
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  size_t total = 0;
+  for (size_t i = 0; i < nframes; i++) {
+    if (results[i].empty() && std::min(frame_size, n - starts[i]) != 0) return -1;
+    if (total + results[i].size() > cap) return -1;
+    memcpy(dst + total, results[i].data(), results[i].size());
+    if (frame_csizes) frame_csizes[i] = (u32)results[i].size();
+    total += results[i].size();
+  }
+  return (i64)total;
+}
+
+extern "C" i64 zn_decompress_stream_mt(const u8* src, size_t n, u8* dst,
+                                       size_t cap, const u64* frame_offsets,
+                                       const u64* frame_dst_offsets,
+                                       size_t nframes, int nthreads) {
+  std::atomic_size_t next{0};
+  std::atomic_bool failed{false};
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= nframes || failed.load()) break;
+      size_t fstart = frame_offsets[i];
+      size_t fend = frame_offsets[i + 1];
+      size_t dstart = frame_dst_offsets[i];
+      size_t dend = frame_dst_offsets[i + 1];
+      size_t consumed = 0;
+      i64 r = zn_decompress_frame(src + fstart, fend - fstart, dst + dstart,
+                                  dend - dstart, nullptr, 0, &consumed);
+      if (r < 0 || (size_t)r != dend - dstart) failed.store(true);
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  if (failed.load()) return -1;
+  return (i64)(frame_dst_offsets[nframes]);
+}
