@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command")
 
     def add_common(sp):
+        sp.add_argument(
+            "--backend", choices=["auto", "python", "native"], default="auto",
+            help="execution backend (default: native runtime when available)",
+        )
         sp.add_argument("-f", "--force", action="store_true", help="overwrite without asking; allow tty output")
         sp.add_argument("-c", "--stdout", action="store_true", help="write to standard output")
         sp.add_argument("--no-progress", action="store_true", help="disable the progress bar")
@@ -265,6 +269,7 @@ def cmd_compress(args) -> int:
         .with_compression_level(args.compression_level)
         .with_checksum_flag(not args.no_checksum)
         .with_frame_size_policy(policy)
+        .with_backend(args.backend)
     )
     enc = Encoder(opts, out)
     progress = Progress(not args.no_progress and not args.quiet, "compressing")
@@ -348,7 +353,7 @@ def cmd_decompress(args) -> int:
         # (reference: cli/src/decompress.rs:54-63)
         dctx.set_parameter_window_log_max(max(len(prefix).bit_length() + 1, 10))
 
-    opts = DecodeOptions(src, dctx)
+    opts = DecodeOptions(src, dctx).with_backend(args.backend)
     if st is not None:
         opts = opts.with_seek_table(st)
     if prefix is not None:

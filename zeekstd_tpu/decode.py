@@ -39,6 +39,13 @@ class DecodeOptions:
         self._offset: int | None = None
         self._offset_limit: int | None = None
         self._prefix: bytes | None = None
+        self.backend = "auto"
+
+    def with_backend(self, backend: str) -> "DecodeOptions":
+        if backend not in ("auto", "python", "native"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        return self
 
     def with_dctx(self, dctx: DCtx) -> "DecodeOptions":
         self.dctx = dctx
@@ -103,6 +110,11 @@ class Decoder:
         self.offset = offset
         self.offset_limit = limit
         self._read_compressed = 0
+        self._backend = options.backend
+        if self._backend == "auto":
+            from .native import loader
+
+            self._backend = "native" if loader.available() else "python"
         # In-memory decoded frame cache: (frame_index, bytes) or None.
         self._cur_frame: int | None = None
         self._cur_data: bytes | None = None
@@ -128,9 +140,17 @@ class Decoder:
                 raise ZeekstdError(f"unexpected EOF reading frame {index}")
             buf += chunk
         self._read_compressed += len(buf)
-        if self._prefix is not None:
-            self.dctx.ref_prefix(self._prefix)
-        out, _ = self.dctx.decompress_frame(buf)
+        expected_size = self._st.frame_size_decomp(index)
+        if self._backend == "native":
+            from .native.frame import native_decompress_frame
+
+            out, _ = native_decompress_frame(
+                buf, expected_size + 64, prefix=self._prefix or b""
+            )
+        else:
+            if self._prefix is not None:
+                self.dctx.ref_prefix(self._prefix)
+            out, _ = self.dctx.decompress_frame(buf)
         expected = self._st.frame_size_decomp(index)
         if len(out) != expected:
             raise ZeekstdError(

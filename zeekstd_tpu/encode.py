@@ -69,6 +69,9 @@ class EncodeOptions:
 
     Checksums default OFF in the library (reference: lib/src/encode.rs:146)
     and are enabled explicitly by the CLI (reference: cli/src/compress.rs:41).
+
+    ``backend``: "auto" (native C++ runtime when available for the fast
+    levels, else Python), "python", or "native".
     """
 
     def __init__(self, cctx: CCtx | None = None):
@@ -76,6 +79,13 @@ class EncodeOptions:
         self.frame_size_policy = FrameSizePolicy.uncompressed()
         self.checksum_flag = False
         self.compression_level = DEFAULT_COMPRESSION_LEVEL
+        self.backend = "auto"
+
+    def with_backend(self, backend: str) -> "EncodeOptions":
+        if backend not in ("auto", "python", "native"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        return self
 
     def with_cctx(self, cctx: CCtx) -> "EncodeOptions":
         self.cctx = cctx
@@ -131,9 +141,34 @@ class RawEncoder:
             return min(log, 27)
         return 24  # compressed policy: uncompressed size unknown upfront
 
+    def _use_native(self) -> bool:
+        if self.options.backend == "python":
+            return False
+        pol = self.options.frame_size_policy
+        if pol.kind == "compressed":
+            return False  # needs progressive compressed-size feedback
+        if self.options.backend == "native":
+            return True
+        # auto: the native runtime implements the fast strategy — use it for
+        # the fast levels (reference default level 3: cli/src/args.rs).
+        if self.cctx.level > 4:
+            return False
+        from .native import loader
+
+        return loader.available()
+
     def _begin_frame(self) -> None:
         prefix = self._prefix if self._prefix is not None else b""
         pol = self.options.frame_size_policy
+        if self._use_native():
+            from .native.frame import NativeFrameEncoder
+
+            self._frame = NativeFrameEncoder(
+                checksum=self.cctx.checksum, prefix=prefix
+            )
+            self._frame_c_size = 0
+            self._frame_d_size = 0
+            return
         # Compressed-size policy needs fine-grained block flushes so the
         # cut threshold is observable as the frame grows.
         block_size = max(pol.size // 4, 1024) if pol.kind == "compressed" else None

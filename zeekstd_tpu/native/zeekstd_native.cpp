@@ -726,14 +726,17 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
     u32 h = Matcher::hash6(ip);
     i32 cand = M.table[h];
     M.table[h] = (i32)cur;
-    u32 h2 = Matcher::hash16(ip);
-    i32 cand2 = M.table2[h2];
-    M.table2[h2] = (i32)cur;
     if (cand >= 0 && read32(base + cand) == read32(ip)) {
       u32 l = match_len(ip, base + cand, mlimit);
       if (l > best_len) { best_len = l; best_off = (u32)(cur - cand); }
     }
-    if (cand2 >= 0 && cand2 != cand && read32(base + cand2) == read32(ip)) {
+    // Long-hash table: probe only when the short probe found little (the
+    // crowded-bucket periodic case); insert at every position.
+    u32 h2 = Matcher::hash16(ip);
+    i32 cand2 = M.table2[h2];
+    M.table2[h2] = (i32)cur;
+    if (best_len < 16 && cand2 >= 0 && cand2 != cand &&
+        read32(base + cand2) == read32(ip)) {
       u32 l = match_len(ip, base + cand2, mlimit);
       if (l > best_len) { best_len = l; best_off = (u32)(cur - cand2); }
     }
@@ -768,10 +771,11 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
     const u8* mend = ip + best_len;
     const u8* stop = mend < search_end ? mend : search_end;
     int stride = best_len < 64 ? 1 : 2;
-    for (const u8* q = ip + 1; q < stop; q += stride) {
+    int parity = 0;
+    for (const u8* q = ip + 1; q < stop; q += stride, parity ^= 1) {
       size_t qo = (size_t)(q - base);
       M.table[Matcher::hash6(q)] = (i32)qo;
-      M.table2[Matcher::hash16(q)] = (i32)qo;
+      if (parity) M.table2[Matcher::hash16(q)] = (i32)qo;
     }
     ip = mend;
     anchor = ip;
@@ -1273,7 +1277,8 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
             u32 total = 0;
             for (int i = 0; i < nw; i++) total += weights[i] ? 1u << (weights[i] - 1) : 0;
             if (!total) return -1;
-            int mb = highbit(total) + ((total & (total - 1)) ? 1 : 0);
+            // Next power of two STRICTLY above total (the implied weight is >= 1).
+            int mb = highbit(total) + 1;
             u32 left = (1u << mb) - total;
             if (!left || (left & (left - 1))) return -1;
             weights[nw] = (u8)(highbit(left) + 1);
@@ -1305,7 +1310,7 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
             u32 total = 0;
             for (int i = 0; i < k; i++) total += weights[i] ? 1u << (weights[i] - 1) : 0;
             if (!total) return -1;
-            int mb = highbit(total) + ((total & (total - 1)) ? 1 : 0);
+            int mb = highbit(total) + 1;
             u32 left = (1u << mb) - total;
             if (!left || (left & (left - 1))) return -1;
             weights[k] = (u8)(highbit(left) + 1);
