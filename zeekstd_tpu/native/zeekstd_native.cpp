@@ -98,13 +98,38 @@ struct BitWriter {
   inline void add(u32 value, int n) {
     acc |= ((u64)value & ((n >= 32) ? 0xFFFFFFFFULL : ((1ULL << n) - 1))) << nbits;
     nbits += n;
+    if (nbits >= 32) {  // flush four bytes at once
+      size_t pos = out->size();
+      out->resize(pos + 4);
+      u32 lo = (u32)acc;
+      memcpy(out->data() + pos, &lo, 4);
+      acc >>= 32;
+      nbits -= 32;
+    }
+  }
+  inline void flush_bytes() {
     while (nbits >= 8) { out->push_back((u8)acc); acc >>= 8; nbits -= 8; }
+  }
+  // fused write of up to 57 bits (value already masked by caller)
+  inline void add_wide(u64 value, int n) {
+    acc |= value << nbits;
+    nbits += n;
+    while (nbits >= 32) {
+      size_t pos = out->size();
+      out->resize(pos + 4);
+      u32 lo = (u32)acc;
+      memcpy(out->data() + pos, &lo, 4);
+      acc >>= 32;
+      nbits -= 32;
+    }
   }
   inline void finish() {  // sentinel + byte align
     add(1, 1);
+    flush_bytes();
     if (nbits) { out->push_back((u8)acc); acc = 0; nbits = 0; }
   }
   inline void align_no_sentinel() {
+    flush_bytes();
     if (nbits) { out->push_back((u8)acc); acc = 0; nbits = 0; }
   }
 };
@@ -132,6 +157,22 @@ struct BitReaderBack {
     if (avail <= 0) return 0;
     u64 window; memcpy(&window, start, 8);
     return (u32)((window & ((1ULL << avail) - 1)) << (-lo));
+  }
+  // One load for a group of consecutive reads (n <= 56); first-read value
+  // lands in the TOP bits, matching sequential read() order.
+  inline u64 read_wide(int n) {
+    rem -= n;
+    if (n == 0) return 0;
+    i64 lo = rem;
+    if (lo >= 0) {
+      u64 window;
+      memcpy(&window, start + (lo >> 3), 8);
+      return (window >> (lo & 7)) & ((1ULL << n) - 1);
+    }
+    i64 avail = n + lo;
+    if (avail <= 0) return 0;
+    u64 window; memcpy(&window, start, 8);
+    return (window & ((1ULL << avail) - 1)) << (-lo);
   }
 };
 
@@ -423,49 +464,91 @@ static bool huf_build_dec(const u8* weights, int nsym, HufDecTable* t) {
   return true;
 }
 
-// Package-merge optimal length-limited code lengths. freqs over 0..255.
+// Length-limited Huffman code lengths: two-queue Huffman build (counting
+// sort by frequency) + greedy max-height adjustment (the zstd approach).
 static int huf_lengths(const u32* freqs, u8* lengths /*256*/, int max_len) {
-  struct Item { u64 cost; u32 count[8]; };  // count: per-symbol bitset chunks? too big
-  // Simpler: store symbol lists via indices into a pool.
   int syms[256], nsym = 0;
   for (int s = 0; s < 256; s++) { lengths[s] = 0; if (freqs[s]) syms[nsym++] = s; }
   if (nsym == 0) return 0;
   if (nsym == 1) { lengths[syms[0]] = 1; return 1; }
-  // originals sorted by (freq, symbol)
-  std::vector<std::pair<u64,int>> orig;
-  orig.reserve(nsym);
-  for (int i = 0; i < nsym; i++) orig.push_back({((u64)freqs[syms[i]] << 16) | syms[i], syms[i]});
-  std::sort(orig.begin(), orig.end());
-  // nodes: cost + vector of symbols (flattened via small vectors)
-  struct Node { u64 cost; std::vector<u16> symv; };
-  std::vector<Node> prev;
-  for (int level = 0; level < max_len; level++) {
-    std::vector<Node> packages;
-    for (size_t i = 0; i + 1 < prev.size(); i += 2) {
-      Node n;
-      n.cost = prev[i].cost + prev[i + 1].cost;
-      n.symv = prev[i].symv;
-      n.symv.insert(n.symv.end(), prev[i + 1].symv.begin(), prev[i + 1].symv.end());
-      packages.push_back(std::move(n));
+  // sort present symbols by (freq, symbol)
+  std::sort(syms, syms + nsym, [&](int a, int b) {
+    return freqs[a] != freqs[b] ? freqs[a] < freqs[b] : a < b;
+  });
+  // two-queue huffman: leaves queue (sorted) + internal-nodes queue (FIFO,
+  // produced in nondecreasing order)
+  struct Node { u64 w; int l, r; int sym; u8 depth; };
+  static thread_local std::vector<Node> nodes;
+  nodes.clear();
+  nodes.reserve(2 * nsym);
+  for (int i = 0; i < nsym; i++) nodes.push_back({freqs[syms[i]], -1, -1, syms[i], 0});
+  size_t leaf_i = 0, int_i = nodes.size();
+  size_t int_end = nodes.size();
+  auto take = [&]() -> int {
+    bool leaf_ok = leaf_i < (size_t)nsym;
+    bool int_ok = int_i < int_end;
+    if (leaf_ok && (!int_ok || nodes[leaf_i].w <= nodes[int_i].w)) return (int)leaf_i++;
+    return (int)int_i++;
+  };
+  int root = -1;
+  for (int k = 0; k < nsym - 1; k++) {
+    int a = take();
+    int b = take();
+    nodes.push_back({nodes[a].w + nodes[b].w, a, b, -1, 0});
+    int_end = nodes.size();
+    root = (int)nodes.size() - 1;
+  }
+  // depths via reverse traversal (children precede parents)
+  nodes[root].depth = 0;
+  for (int i = root; i >= 0; i--) {
+    if (nodes[i].l >= 0) {
+      nodes[nodes[i].l].depth = (u8)(nodes[i].depth + 1);
+      nodes[nodes[i].r].depth = (u8)(nodes[i].depth + 1);
     }
-    std::vector<Node> cur;
-    size_t ai = 0, pi = 0;
-    while (ai < orig.size() || pi < packages.size()) {
-      u64 ac = ai < orig.size() ? (orig[ai].first >> 16) : UINT64_MAX;
-      u64 pc = pi < packages.size() ? packages[pi].cost : UINT64_MAX;
-      if (ac <= pc) {
-        Node n; n.cost = ac; n.symv.push_back((u16)orig[ai].second);
-        cur.push_back(std::move(n)); ai++;
-      } else {
-        cur.push_back(std::move(packages[pi])); pi++;
+  }
+  int maxl = 0;
+  for (int i = 0; i < nsym; i++) {
+    lengths[nodes[i].sym] = nodes[i].depth;
+    if (nodes[i].depth > maxl) maxl = nodes[i].depth;
+  }
+  if (maxl <= max_len) return maxl;
+  // clamp + repay Kraft debt: K (in units of 2^-max_len) must equal 2^max_len
+  i64 K = 0;
+  for (int s = 0; s < 256; s++) {
+    if (!lengths[s]) continue;
+    if (lengths[s] > max_len) lengths[s] = (u8)max_len;
+    K += 1LL << (max_len - lengths[s]);
+  }
+  i64 target = 1LL << max_len;
+  // demote cheapest symbols (rarest first = start of syms) until K fits
+  for (int i = 0; i < nsym && K > target; i++) {
+    int sft = syms[i];
+    while (K > target && lengths[sft] < max_len) {
+      K -= 1LL << (max_len - lengths[sft] - 1);
+      lengths[sft]++;
+    }
+  }
+  if (K > target) return 0;  // cannot fit (should not happen for nsym<=2^max_len)
+  // promote most frequent symbols to absorb remaining slack
+  for (int i = nsym - 1; i >= 0 && K < target; i--) {
+    int sft = syms[i];
+    while (lengths[sft] > 1 && K + (1LL << (max_len - lengths[sft])) <= target) {
+      K += 1LL << (max_len - lengths[sft]);
+      lengths[sft]--;
+    }
+  }
+  if (K != target) {
+    // final fill with single-step demotions on rarest symbols
+    for (int i = 0; i < nsym && K != target; i++) {
+      int sft = syms[i];
+      while (K > target && lengths[sft] < max_len) {
+        K -= 1LL << (max_len - lengths[sft] - 1);
+        lengths[sft]++;
       }
     }
-    prev = std::move(cur);
+    if (K != target) return 0;
   }
-  int take = 2 * nsym - 2;
-  for (int i = 0; i < take && i < (int)prev.size(); i++)
-    for (u16 s : prev[i].symv) lengths[s]++;
-  int maxl = 0;
+  maxl = 0;
   for (int s = 0; s < 256; s++) if (lengths[s] > maxl) maxl = lengths[s];
   return maxl;
 }
@@ -632,22 +715,30 @@ static const i16 ML_DEF_NORM[53] = {1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1,
 static const i16 OF_DEF_NORM[29] = {1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
                                     1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1};
 
+static u8 g_ll_lut[64], g_ml_lut[128];
+static void build_code_luts() {
+  for (u32 v = 0; v < 64; v++) {
+    int lo = 16, hi = 35;
+    if (v < 16) { g_ll_lut[v] = (u8)v; continue; }
+    while (lo < hi) { int mid = (lo + hi + 1) >> 1; if (LL_BASE[mid] <= v) lo = mid; else hi = mid - 1; }
+    g_ll_lut[v] = (u8)lo;
+  }
+  for (u32 mb = 0; mb < 128; mb++) {  // mb = ml - 3
+    u32 ml = mb + 3;
+    if (ml < 35) { g_ml_lut[mb] = (u8)mb; continue; }
+    int lo = 32, hi = 52;
+    while (lo < hi) { int mid = (lo + hi + 1) >> 1; if (ML_BASE[mid] <= ml) lo = mid; else hi = mid - 1; }
+    g_ml_lut[mb] = (u8)lo;
+  }
+}
 static inline int ll_code(u32 ll) {
-  if (ll < 16) return (int)ll;
-  int hb = highbit(ll);
-  static const int tbl[32] = {0};
-  (void)tbl;
-  // codes 16..35 cover baselines 16,18,...; binary search LL_BASE
-  int lo = 16, hi = 35;
-  while (lo < hi) { int mid = (lo + hi + 1) >> 1; if (LL_BASE[mid] <= ll) lo = mid; else hi = mid - 1; }
-  (void)hb;
-  return lo;
+  if (ll < 64) return g_ll_lut[ll];
+  return 19 + highbit(ll);  // codes 25..35: baseline 2^k, k = 6..16
 }
 static inline int ml_code(u32 ml) {
-  if (ml < 35) return (int)(ml - 3);
-  int lo = 32, hi = 52;
-  while (lo < hi) { int mid = (lo + hi + 1) >> 1; if (ML_BASE[mid] <= ml) lo = mid; else hi = mid - 1; }
-  return lo;
+  u32 mb = ml - 3;
+  if (mb < 128) return g_ml_lut[mb];
+  return 36 + highbit(mb);  // codes 43..52: baseline-3 = 2^k, k = 7..16
 }
 
 // Global predefined encode/decode tables (built once).
@@ -656,6 +747,7 @@ static FseDecTable g_ll_def_dec, g_ml_def_dec, g_of_def_dec;
 static bool g_defaults_ready = false;
 static void ensure_defaults() {
   if (g_defaults_ready) return;
+  build_code_luts();
   fse_build_enc(LL_DEF_NORM, 36, 6, &g_ll_def_enc);
   fse_build_enc(ML_DEF_NORM, 53, 6, &g_ml_def_enc);
   fse_build_enc(OF_DEF_NORM, 29, 5, &g_of_def_enc);
@@ -742,7 +834,9 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
     }
     if (best_len < 4 ||
         (best_off != reps[0] && 6 * (int)best_len < 14 + highbit(best_off) + 1)) {
-      ip++;
+      // Miss acceleration: long literal runs step faster (ZSTD_fast-style),
+      // which makes incompressible stretches near-free.
+      ip += 1 + ((size_t)(ip - anchor) >> 8);
       continue;
     }
     // backward extension
@@ -771,11 +865,10 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
     const u8* mend = ip + best_len;
     const u8* stop = mend < search_end ? mend : search_end;
     int stride = best_len < 64 ? 1 : 2;
-    int parity = 0;
-    for (const u8* q = ip + 1; q < stop; q += stride, parity ^= 1) {
+    for (const u8* q = ip + 1; q < stop; q += stride) {
       size_t qo = (size_t)(q - base);
       M.table[Matcher::hash6(q)] = (i32)qo;
-      if (parity) M.table2[Matcher::hash16(q)] = (i32)qo;
+      M.table2[Matcher::hash16(q)] = (i32)qo;
     }
     ip = mend;
     anchor = ip;
@@ -971,9 +1064,12 @@ static void write_sequences_section(std::vector<u8>& out,
   ofs_.init(of.table, ofc[last]);
   lls_.init(ll.table, llc[last]);
   auto add_extras = [&](size_t i) {
-    bw.add(seqs[i].ll - LL_BASE[llc[i]], LL_BITS[llc[i]]);
-    bw.add(seqs[i].ml - ML_BASE[mlc[i]], ML_BITS[mlc[i]]);
-    bw.add(seqs[i].ov - (1u << ofc[i]), ofc[i]);
+    // write order ll, ml, of fused into one container push
+    int lb = LL_BITS[llc[i]], mb = ML_BITS[mlc[i]], ob = ofc[i];
+    u64 v = (u64)(seqs[i].ll - LL_BASE[llc[i]]);
+    v |= (u64)(seqs[i].ml - ML_BASE[mlc[i]]) << lb;
+    v |= (u64)(seqs[i].ov - (1u << ob)) << (lb + mb);
+    bw.add_wide(v, lb + mb + ob);
   };
   add_extras(last);
   for (size_t i = n - 1; i-- > 0;) {
@@ -1325,12 +1421,29 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
         auto dec_stream = [&](const u8* sp, size_t sn, u8* op, size_t on) -> bool {
           BitReaderBack br(sp, sn);
           if (!br.ok) return false;
-          int mb = ctx.huf.max_bits;
-          for (size_t i = 0; i < on; i++) {
+          const int mb = ctx.huf.max_bits;
+          const u8* sym = ctx.huf.symbol;
+          const u8* nbt = ctx.huf.nbits;
+          size_t i = 0;
+          // Fast path: one 8-byte load serves up to 4 symbols (<= 44 bits).
+          while (i + 4 <= on && br.rem >= 57) {
+            i64 lo = br.rem - 57;
+            u64 w;
+            memcpy(&w, sp + (lo >> 3), 8);
+            w >>= (lo & 7);
+            int cur = 57;
+            for (int k = 0; k < 4; k++) {
+              u32 idx = (u32)((w >> (cur - mb)) & ((1u << mb) - 1));
+              op[i + k] = sym[idx];
+              cur -= nbt[idx];
+            }
+            br.rem -= 57 - cur;
+            i += 4;
+          }
+          for (; i < on; i++) {
             u32 idx = br.read(mb);
-            int nb2 = ctx.huf.nbits[idx];
-            br.rem += mb - nb2;
-            op[i] = ctx.huf.symbol[idx];
+            br.rem += mb - nbt[idx];
+            op[i] = sym[idx];
           }
           return br.rem == 0;
         };
@@ -1396,9 +1509,11 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
           int ml_code = mlt->symbol[ml_s];
           int ll_code = llt->symbol[ll_s];
           if (of_code > 31 || ml_code > 52 || ll_code > 35) return -1;
-          u32 ofv = (1u << of_code) + br.read(of_code);
-          u32 mlv = ML_BASE[ml_code] + br.read(ML_BITS[ml_code]);
-          u32 llv = LL_BASE[ll_code] + br.read(LL_BITS[ll_code]);
+          int mlb = ML_BITS[ml_code], llb = LL_BITS[ll_code];
+          u64 extras = br.read_wide(of_code + mlb + llb);
+          u32 ofv = (1u << of_code) + (u32)(extras >> (mlb + llb));
+          u32 mlv = ML_BASE[ml_code] + (u32)((extras >> llb) & ((1u << mlb) - 1));
+          u32 llv = LL_BASE[ll_code] + (u32)(extras & ((1u << llb) - 1));
           if (br.rem < 0) return -1;
           u32 off;
           if (ofv > 3) {
@@ -1416,9 +1531,11 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
             }
           }
           if (i + 1 < nseq) {
-            ll_s = llt->baseline[ll_s] + (int)br.read(llt->nbits[ll_s]);
-            ml_s = mlt->baseline[ml_s] + (int)br.read(mlt->nbits[ml_s]);
-            of_s = oft->baseline[of_s] + (int)br.read(oft->nbits[of_s]);
+            int lb = llt->nbits[ll_s], mb2 = mlt->nbits[ml_s], ob = oft->nbits[of_s];
+            u64 upd = br.read_wide(lb + mb2 + ob);
+            ll_s = llt->baseline[ll_s] + (int)(upd >> (mb2 + ob));
+            ml_s = mlt->baseline[ml_s] + (int)((upd >> ob) & ((1u << mb2) - 1));
+            of_s = oft->baseline[of_s] + (int)(upd & ((1u << ob) - 1));
             if (br.rem < 0) return -1;
           }
           // execute (wild 8-byte copies into the slack region)
