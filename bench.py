@@ -141,6 +141,13 @@ def bench_tpu(corpus: bytes, frame_size: int):
 
 
 def main() -> int:
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        # JAX profiler trace (the reference measures offline with Criterion;
+        # the TPU equivalent is a profiler trace, SURVEY §5).
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     size = int(os.environ.get("BENCH_SIZE_MB", "10")) << 20
     corpus = build_corpus(size)
@@ -174,6 +181,10 @@ def main() -> int:
         detail.append(f"native enc {native[0]:.0f}/dec {native[1]:.0f}")
     if tpu:
         detail.append(f"tpu enc {tpu[0]:.1f}/dec {tpu[1]:.1f}")
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     print(
         json.dumps(
             {

@@ -61,3 +61,21 @@ def test_single_device_mesh():
     mesh = make_mesh(jax.devices()[:1])
     blob, st = parallel_compress(data, mesh, frame_size=8192)
     assert zstd_decompress(blob) == data
+
+
+def test_query_routing():
+    # Random-access routing: offsets -> owning frames/devices
+    # (reference analog: lib/src/seek_table.rs:916-934, distributed).
+    from zeekstd_tpu.parallel.pipeline import parallel_random_access, route_queries
+
+    data = text_data(100_000)
+    mesh = make_mesh()
+    blob, st = parallel_compress(data, mesh, frame_size=16_384)
+    frames, owners = route_queries(st, [0, 16_384, 40_000, 99_999], mesh)
+    assert list(frames) == [0, 1, 2, 6]
+    assert all(0 <= o < 8 for o in owners)
+    results = parallel_random_access(
+        blob, st, [(5000, 9000), (30_000, 70_000)], mesh
+    )
+    assert results[0] == data[5000:9000]
+    assert results[1] == data[30_000:70_000]

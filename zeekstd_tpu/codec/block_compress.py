@@ -5,13 +5,24 @@ from __future__ import annotations
 
 from . import frame as frame_mod
 from . import huffman
-from .literals import LIT_COMPRESSED, LIT_RAW, LIT_RLE, write_literals_header
+from .literals import (
+    LIT_COMPRESSED,
+    LIT_RAW,
+    LIT_RLE,
+    LIT_TREELESS,
+    write_literals_header,
+)
 from .match import MatchState, find_sequences
 from .seq_encode import encode_sequences_section
 
 
-def encode_literals_section(literals: bytes) -> bytes:
-    """Serialize the literals section, choosing the cheapest representation."""
+def encode_literals_section(literals: bytes, state=None) -> bytes:
+    """Serialize the literals section, choosing the cheapest representation.
+
+    When ``state`` carries the previous block's Huffman table and reusing it
+    beats describing a fresh tree, Treeless_Literals are emitted
+    (RFC 8878 §3.1.1.3.1.1 type 3; decoder mirror: literals.py).
+    """
     n = len(literals)
     if n == 0:
         return write_literals_header(LIT_RAW, 0, 0, False)
@@ -36,6 +47,20 @@ def encode_literals_section(literals: bytes) -> bytes:
     except Exception:
         return raw
 
+    # Treeless: reuse the previous block's table when it covers all present
+    # symbols and costs less than a fresh tree description.
+    prev = getattr(state, "huf_table", None) if state is not None else None
+    use_prev = False
+    if prev is not None:
+        p_codes, p_nb = prev
+        if all(s < len(p_nb) and p_nb[s] > 0 for s in freqs):
+            new_bits = sum(c * int(nb[s]) for s, c in freqs.items()) + 8 * len(tree)
+            prev_bits = sum(c * int(p_nb[s]) for s, c in freqs.items())
+            if prev_bits <= new_bits:
+                use_prev = True
+                codes, nb = p_codes, p_nb
+                tree = b""
+
     if n < 256:
         stream = huffman.compress_literals_1stream(literals, codes, nb)
         four = False
@@ -45,12 +70,15 @@ def encode_literals_section(literals: bytes) -> bytes:
         if stream is None:
             return raw
     payload = tree + stream
+    lit_type = LIT_TREELESS if use_prev else LIT_COMPRESSED
     try:
-        header = write_literals_header(LIT_COMPRESSED, n, len(payload), four)
+        header = write_literals_header(lit_type, n, len(payload), four)
     except Exception:
         return raw
     if len(header) + len(payload) >= len(raw):
         return raw
+    if state is not None and not use_prev:
+        state.huf_table = (codes, nb)
     return header + payload
 
 
@@ -88,11 +116,17 @@ def compress_block(state, pos: int, size: int, last: bool) -> bytes:
         state.rep_offsets,
         max_dist=state.max_offset,
     )
-    body = encode_literals_section(literals) + encode_sequences_section(seqs)
+    # Snapshot carried entropy state: a raw fallback must leave the
+    # decoder-visible repeat/treeless/repeat-table state untouched.
+    huf_before = state.huf_table
+    tables_before = dict(state.seq_tables)
+    body = encode_literals_section(literals, state) + encode_sequences_section(
+        seqs, state.seq_tables
+    )
 
     if len(body) >= size:
-        # Raw fallback: decoder never sees the sequences, so the repeat
-        # history must not advance.
+        state.huf_table = huf_before
+        state.seq_tables = tables_before
         return frame_mod.write_block_header(last, frame_mod.BLOCK_RAW, size) + data
 
     state.rep_offsets = new_reps

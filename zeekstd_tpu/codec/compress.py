@@ -180,7 +180,8 @@ class CompressState:
         self.params = params_for_level(level)
         self.max_offset = max_offset
         self.rep_offsets = (1, 4, 8)
-        self.huf_table = None  # carried for treeless-literal reuse
+        self.huf_table = None  # carried (codes, nbits) for treeless reuse
+        self.seq_tables = {}  # carried FSE tables for repeat mode
         self.match_state = None  # carried hash tables across blocks
 
     def extend(self, data: bytes) -> None:

@@ -30,6 +30,7 @@ from .sequences import (
     ML_MAX_LOG,
     MODE_FSE,
     MODE_PREDEFINED,
+    MODE_REPEAT,
     MODE_RLE,
     OF_DEFAULT_LOG,
     OF_DEFAULT_NORM,
@@ -77,9 +78,9 @@ def write_num_sequences(n: int) -> bytes:
     raise corruption_detected("too many sequences for one block")
 
 
-def _choose_table(codes, category: str, default_norm, default_log, max_code, max_log):
-    """Pick the cheapest of RLE / predefined / FSE_Compressed for one
-    category. Returns (mode, enc_table, desc_bytes, cost_bits_estimate)."""
+def _choose_table(codes, category: str, default_norm, default_log, max_code, max_log, prev_table=None):
+    """Pick the cheapest of RLE / predefined / FSE_Compressed / Repeat for
+    one category. Returns (mode, enc_table, desc_bytes, cost_bits_estimate)."""
     n = len(codes)
     hist = np.bincount(codes, minlength=max_code + 1).astype(np.int64)
 
@@ -113,15 +114,44 @@ def _choose_table(codes, category: str, default_norm, default_log, max_code, max
         p = norm[s] if norm[s] > 0 else 0.5
         fse_bits += c * (log - np.log2(p))
 
-    if pred_ok and pred_bits <= fse_bits:
+    # Repeat-mode cost: previous block's table, no description bytes.
+    rep_bits = None
+    if prev_table is not None and prev_table.accuracy_log > 0:
+        pnorm = prev_table.norm
+        rep_bits = 0.0
+        for s in range(max_code + 1):
+            c = int(hist[s])
+            if c == 0:
+                continue
+            if s >= len(pnorm) or pnorm[s] == 0:
+                rep_bits = None
+                break
+            p = pnorm[s] if pnorm[s] > 0 else 0.5
+            rep_bits += c * (prev_table.accuracy_log - np.log2(p))
+
+    best = min(
+        x
+        for x in (
+            (pred_bits, MODE_PREDEFINED) if pred_ok else None,
+            (fse_bits, MODE_FSE),
+            (rep_bits, MODE_REPEAT) if rep_bits is not None else None,
+        )
+        if x is not None
+    )
+    if best[1] == MODE_REPEAT:
+        return MODE_REPEAT, prev_table, b"", rep_bits
+    if best[1] == MODE_PREDEFINED:
         return MODE_PREDEFINED, _default_enc_table(category), b"", pred_bits
     return MODE_FSE, build_encode_table(norm, log), desc, fse_bits
 
 
-def encode_sequences_section(seqs) -> bytes:
+def encode_sequences_section(seqs, prev_tables=None) -> bytes:
     """Serialize the full sequences section for a block.
 
-    ``seqs``: list of Sequence(ll, ml, offset_value).
+    ``seqs``: list of Sequence(ll, ml, offset_value). ``prev_tables``: an
+    optional mutable dict carrying each category's encode table across
+    blocks; when reusing the previous table is cheapest, Repeat_Mode is
+    emitted (RFC 8878 §3.1.1.3.2.1.1 mode 3).
     """
     n = len(seqs)
     out = bytearray(write_num_sequences(n))
@@ -132,15 +162,24 @@ def encode_sequences_section(seqs) -> bytes:
     ml_codes = np.array([ml_code(s.ml) for s in seqs], dtype=np.int64)
     of_codes = np.array([of_code(s.offset_value) for s in seqs], dtype=np.int64)
 
+    prev = prev_tables if prev_tables is not None else {}
     ll_mode, ll_t, ll_desc, _ = _choose_table(
-        ll_codes, "ll", LL_DEFAULT_NORM, LL_DEFAULT_LOG, MAX_LL_CODE, LL_MAX_LOG
+        ll_codes, "ll", LL_DEFAULT_NORM, LL_DEFAULT_LOG, MAX_LL_CODE, LL_MAX_LOG,
+        prev.get("ll"),
     )
     of_mode, of_t, of_desc, _ = _choose_table(
-        of_codes, "of", OF_DEFAULT_NORM, OF_DEFAULT_LOG, MAX_OFFSET_CODE, OF_MAX_LOG
+        of_codes, "of", OF_DEFAULT_NORM, OF_DEFAULT_LOG, MAX_OFFSET_CODE, OF_MAX_LOG,
+        prev.get("of"),
     )
     ml_mode, ml_t, ml_desc, _ = _choose_table(
-        ml_codes, "ml", ML_DEFAULT_NORM, ML_DEFAULT_LOG, MAX_ML_CODE, ML_MAX_LOG
+        ml_codes, "ml", ML_DEFAULT_NORM, ML_DEFAULT_LOG, MAX_ML_CODE, ML_MAX_LOG,
+        prev.get("ml"),
     )
+    if prev_tables is not None:
+        # Repeat mode references whatever table the previous block used,
+        # whichever mode produced it (decoder mirror: sequences.py
+        # read_symbol_table MODE_REPEAT).
+        prev_tables["ll"], prev_tables["of"], prev_tables["ml"] = ll_t, of_t, ml_t
 
     out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
     out += ll_desc + of_desc + ml_desc

@@ -165,3 +165,52 @@ def parallel_decompress(archive: bytes, seek_table: SeekTable, mesh=None):
         chunk, _ = tpu_decompress_frame(archive[start:end])
         out.append(chunk)
     return b"".join(out)
+
+
+def route_queries(seek_table: SeekTable, queries, mesh=None):
+    """Map random-access queries to owning frames/chips (reference analog:
+    frame_index binary search, lib/src/seek_table.rs:916-934, distributed).
+
+    ``queries``: int array of decompressed byte offsets. Returns
+    (frame_indices, owner_devices) — the frame containing each offset and
+    the mesh position holding that frame under the round-robin frame
+    sharding used by ``parallel_compress``.
+    """
+    jax, jnp = _jax()
+    import numpy as np
+
+    c_off, d_off = seek_table.cumulative_offsets()
+    d = jnp.asarray(d_off.astype(np.int64))
+    q = jnp.asarray(np.asarray(queries, dtype=np.int64))
+    idx = jnp.clip(
+        jnp.searchsorted(d, q, side="right") - 1, 0, seek_table.num_frames - 1
+    )
+    n_dev = mesh.devices.size if mesh is not None else 1
+    frames_per_dev = -(-seek_table.num_frames // max(n_dev, 1))
+    owners = idx // max(frames_per_dev, 1)
+    return np.asarray(idx), np.asarray(owners)
+
+
+def parallel_random_access(archive: bytes, seek_table: SeekTable, ranges, mesh=None):
+    """Serve (offset, limit) random-access queries: route each to its
+    frame(s), decode only those frames, slice the results."""
+    from ..tpu_codec import tpu_decompress_frame
+
+    results = []
+    cache = {}
+    for lo, hi in ranges:
+        out = []
+        pos = lo
+        while pos < hi:
+            idx = seek_table.frame_index_decomp(pos)
+            if idx not in cache:
+                start = seek_table.frame_start_comp(idx)
+                end = seek_table.frame_end_comp(idx)
+                cache[idx], _ = tpu_decompress_frame(archive[start:end])
+            f_start = seek_table.frame_start_decomp(idx)
+            f_end = seek_table.frame_end_decomp(idx)
+            take = min(hi, f_end) - pos
+            out.append(cache[idx][pos - f_start : pos - f_start + take])
+            pos += take
+        results.append(b"".join(out))
+    return results
