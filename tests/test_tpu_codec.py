@@ -68,3 +68,17 @@ def test_compression_ratio_vs_libzstd_l1():
     ours = len(tpu_compress_frame(data))
     ref = len(zstd_compress(data, level=1))
     assert ours <= ref * 1.05
+
+
+def test_batched_archive_encoder():
+    # Archive-level batched pipeline: 3 device dispatches, full interop.
+    from zeekstd_tpu import BytesWrapper, DecodeOptions
+    from zeekstd_tpu.tpu_archive import tpu_compress_archive
+
+    data = structured_data(250_000)
+    blob, st = tpu_compress_archive(data, frame_size=65_536, checksum=True)
+    assert st.num_frames == -(-len(data) // 65_536)
+    assert st.size_comp == len(blob)
+    assert zstd_decompress(blob) == data
+    dec = DecodeOptions(BytesWrapper(blob + st.to_bytes())).into_decoder()
+    assert dec.read(-1) == data
