@@ -88,14 +88,14 @@ def bench_native(corpus: bytes, frame_size: int):
         return None
     n = len(corpus)
     # Warm-up + correctness.
-    blob, sizes = loader.compress_stream_mt(corpus, frame_size)
+    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=6)
     st = SeekTable.from_frames(
         (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
     )
     best_enc = 0.0
     for _ in range(3):
         t0 = time.time()
-        blob, sizes = loader.compress_stream_mt(corpus, frame_size)
+        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=6)
         st = SeekTable.from_frames(
             (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
         )
@@ -109,7 +109,7 @@ def bench_native(corpus: bytes, frame_size: int):
     for _ in range(3):
         t0 = time.time()
         out = loader.decompress_stream_mt(
-            blob, list(map(int, c_off)), list(map(int, d_off))
+            blob, list(map(int, c_off)), list(map(int, d_off)), nthreads=6
         )
         best_dec = max(best_dec, n / (time.time() - t0) / (1 << 20))
     return best_enc, best_dec, len(blob) / n
@@ -166,6 +166,51 @@ def main() -> int:
             f"native: enc {native[0]:.1f} MiB/s dec {native[1]:.1f} MiB/s "
             f"ratio {native[2]*100:.1f}%"
         )
+
+    # Random-access workload (BASELINE config 3): mixed offset/frame queries
+    # over a 6-frame archive through the streaming Decoder.
+    try:
+        import random as _rnd
+
+        from zeekstd_tpu import BytesWrapper, DecodeOptions
+
+        six = corpus[: 6 * frame_size]
+        from zeekstd_tpu.native import loader as _ld
+
+        blob6, sizes6 = _ld.compress_stream_mt(six, frame_size)
+        from zeekstd_tpu.seek_table import SeekTable as _ST
+
+        st6 = _ST.from_frames(
+            (c, min(frame_size, len(six) - i * frame_size))
+            for i, c in enumerate(sizes6)
+        )
+        archive6 = blob6 + st6.to_bytes()
+        dec = DecodeOptions(BytesWrapper(archive6)).into_decoder()
+        rng = _rnd.Random(0)
+        lat = []
+        n_q = 2000
+        t_all = time.time()
+        for _ in range(n_q):
+            if rng.random() < 0.5:
+                off = rng.randrange(len(six) - 4096)
+                t0 = time.time()
+                dec.set_offset(off)
+                dec.set_offset_limit(off + 4096)
+                assert dec.read(-1) == six[off : off + 4096]
+            else:
+                fr = rng.randrange(st6.num_frames)
+                t0 = time.time()
+                dec.set_lower_frame(fr)
+                dec.set_upper_frame(fr)
+                assert len(dec.read(4096)) > 0
+            lat.append(time.time() - t0)
+        lat.sort()
+        log(
+            f"random access: {n_q} queries in {time.time()-t_all:.2f}s, "
+            f"p50 {lat[n_q//2]*1e3:.2f}ms p99 {lat[int(n_q*0.99)]*1e3:.2f}ms"
+        )
+    except Exception as e:
+        log(f"random-access bench failed: {e!r}")
 
     tpu = None
     if os.environ.get("BENCH_SKIP_TPU") != "1":

@@ -160,3 +160,14 @@ def test_native_random_access_through_decoder():
         .into_decoder()
     )
     assert dec.read(-1) == data[20_000:50_000]
+
+
+@pytest.mark.parametrize("level", [1, 3, 7, 9])
+def test_size_beats_libzstd_per_level(level):
+    # BASELINE.md target: compressed size <= reference at equal level.
+    data = text_data(150_000) + structured_data(100_000)
+    ours = len(loader.compress_frame(data, level=level))
+    ref = len(zstd_compress(data, level=level))
+    assert ours <= ref * 1.01, f"L{level}: {ours} vs {ref}"
+    out, _ = loader.decompress_frame(loader.compress_frame(data, level=level), len(data) + 64)
+    assert out == data

@@ -8,10 +8,7 @@ reference drives (reference: lib/src/encode.rs:341-345, SURVEY §2.3).
 
 from __future__ import annotations
 
-from ..constants import (
-    DEFAULT_COMPRESSION_LEVEL,
-    ZSTD_BLOCK_SIZE_MAX,
-)
+from ..constants import DEFAULT_COMPRESSION_LEVEL
 from ..xxhash64 import XXH64
 from . import frame as frame_mod
 from .block_compress import compress_block

@@ -13,7 +13,7 @@ The TPU-parallel counterpart of this module lives in
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

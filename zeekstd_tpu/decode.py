@@ -22,7 +22,7 @@ import os
 
 from .codec.decompress import DCtx
 from .errors import OffsetOutOfRangeError, ZeekstdError
-from .seek_table import Format, SeekTable
+from .seek_table import SeekTable
 from .seekable import Seekable, Start, as_seekable
 
 

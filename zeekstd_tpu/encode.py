@@ -149,9 +149,10 @@ class RawEncoder:
             return False  # needs progressive compressed-size feedback
         if self.options.backend == "native":
             return True
-        # auto: the native runtime implements the fast strategy — use it for
-        # the fast levels (reference default level 3: cli/src/args.rs).
-        if self.cctx.level > 4:
+        # auto: the native runtime covers the greedy/lazy strategies
+        # (levels 1-12, all beating libzstd's sizes at the same level on
+        # text); the Python deep-search path serves the top levels.
+        if self.cctx.level > 12:
             return False
         from .native import loader
 
@@ -164,7 +165,8 @@ class RawEncoder:
             from .native.frame import NativeFrameEncoder
 
             self._frame = NativeFrameEncoder(
-                checksum=self.cctx.checksum, prefix=prefix
+                checksum=self.cctx.checksum, prefix=prefix,
+                level=self.cctx.level,
             )
             self._frame_c_size = 0
             self._frame_d_size = 0

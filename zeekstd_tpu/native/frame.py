@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from ..errors import ZstdError, checksum_wrong, corruption_detected
+from ..errors import checksum_wrong
 from . import loader
 
 
@@ -14,9 +14,10 @@ class NativeFrameEncoder:
     buffered amount (2 MiB by default).
     """
 
-    def __init__(self, checksum: bool = False, prefix: bytes = b""):
+    def __init__(self, checksum: bool = False, prefix: bytes = b"", level: int = 1):
         self.checksum = checksum
         self.prefix = prefix
+        self.level = level
         self._buf = bytearray()
         self.block_max = 1 << 17
 
@@ -26,7 +27,8 @@ class NativeFrameEncoder:
 
     def finish(self) -> bytes:
         return loader.compress_frame(
-            bytes(self._buf), checksum=self.checksum, prefix=self.prefix
+            bytes(self._buf), checksum=self.checksum, prefix=self.prefix,
+            level=self.level,
         )
 
     @property

@@ -56,6 +56,8 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.zn_set_mt_level.restype = None
+        lib.zn_set_mt_level.argtypes = [ctypes.c_int]
         lib.zn_compress_stream_mt.restype = ctypes.c_int64
         lib.zn_compress_stream_mt.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
@@ -81,12 +83,12 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     return lib.zn_xxh64(bytes(data), len(data), seed)
 
 
-def compress_frame(data: bytes, checksum: bool = False, prefix: bytes = b"") -> bytes:
+def compress_frame(data: bytes, checksum: bool = False, prefix: bytes = b"", level: int = 1) -> bytes:
     lib = get_lib()
     cap = len(data) + len(data) // 2 + 1024
     dst = ctypes.create_string_buffer(cap)
     r = lib.zn_compress_frame(
-        bytes(data), len(data), dst, cap, 1, int(checksum),
+        bytes(data), len(data), dst, cap, level, int(checksum),
         bytes(prefix) if prefix else None, len(prefix),
     )
     if r == ctypes.c_size_t(-1).value:
@@ -112,9 +114,10 @@ def decompress_frame(data: bytes, max_size: int, prefix: bytes = b""):
     return dst.raw[:r], consumed.value
 
 
-def compress_stream_mt(data: bytes, frame_size: int, checksum: bool = False, nthreads: int = 0):
+def compress_stream_mt(data: bytes, frame_size: int, checksum: bool = False, nthreads: int = 0, level: int = 1):
     """Compress all frames in parallel; returns (blob, [frame_sizes])."""
     lib = get_lib()
+    lib.zn_set_mt_level(level)
     n = len(data)
     nframes = -(-n // frame_size) if n else 0
     cap = n + n // 2 + 4096 + 16 * max(nframes, 1)

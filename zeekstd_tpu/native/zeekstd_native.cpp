@@ -793,11 +793,40 @@ static inline u32 match_len(const u8* a, const u8* b, const u8* limit) {
   return (u32)(a - start);
 }
 
+// Best (length, offset) candidate at ip given both hash tables + rep probe.
+static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
+                             Matcher& M, u32 rep1, u32* off_out) {
+  u32 best_len = 0, best_off = 0;
+  size_t cur = (size_t)(ip - base);
+  if (cur >= rep1 && read32(ip) == read32(ip - rep1)) {
+    best_len = match_len(ip, ip - rep1, mlimit);
+    best_off = rep1;
+  }
+  u32 h = Matcher::hash6(ip);
+  i32 cand = M.table[h];
+  M.table[h] = (i32)cur;
+  if (cand >= 0 && read32(base + cand) == read32(ip)) {
+    u32 l = match_len(ip, base + cand, mlimit);
+    if (l > best_len) { best_len = l; best_off = (u32)(cur - cand); }
+  }
+  u32 h2 = Matcher::hash16(ip);
+  i32 cand2 = M.table2[h2];
+  M.table2[h2] = (i32)cur;
+  if (best_len < 16 && cand2 >= 0 && cand2 != cand &&
+      read32(base + cand2) == read32(ip)) {
+    u32 l = match_len(ip, base + cand2, mlimit);
+    if (l > best_len) { best_len = l; best_off = (u32)(cur - cand2); }
+  }
+  *off_out = best_off;
+  return best_len;
+}
+
 // Parse one block [src+pos, src+pos+len) with history src[0..pos+len).
-// reps in/out mirror the decoder. Appends to seqs/lits.
+// reps in/out mirror the decoder. Appends to seqs/lits. ``lazy``: 0 greedy,
+// 1-2 lazy evaluation steps (higher levels trade speed for ratio).
 static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
                         u32 reps[3], std::vector<Seq>& seqs,
-                        std::vector<u8>& lits) {
+                        std::vector<u8>& lits, int lazy) {
   const u8* base = src;
   const u8* ip = src + pos;
   const u8* iend = ip + len;
@@ -807,37 +836,27 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
   const u8* search_end = iend - 8;
 
   while (ip < search_end) {
-    u32 best_len = 0, best_off = 0;
-    size_t cur = (size_t)(ip - base);
-    // rep probe
-    u32 r1 = reps[0];
-    if (cur >= r1 && read32(ip) == read32(ip - r1)) {
-      best_len = match_len(ip, ip - r1, mlimit);
-      best_off = r1;
-    }
-    u32 h = Matcher::hash6(ip);
-    i32 cand = M.table[h];
-    M.table[h] = (i32)cur;
-    if (cand >= 0 && read32(base + cand) == read32(ip)) {
-      u32 l = match_len(ip, base + cand, mlimit);
-      if (l > best_len) { best_len = l; best_off = (u32)(cur - cand); }
-    }
-    // Long-hash table: probe only when the short probe found little (the
-    // crowded-bucket periodic case); insert at every position.
-    u32 h2 = Matcher::hash16(ip);
-    i32 cand2 = M.table2[h2];
-    M.table2[h2] = (i32)cur;
-    if (best_len < 16 && cand2 >= 0 && cand2 != cand &&
-        read32(base + cand2) == read32(ip)) {
-      u32 l = match_len(ip, base + cand2, mlimit);
-      if (l > best_len) { best_len = l; best_off = (u32)(cur - cand2); }
-    }
+    u32 best_off;
+    u32 best_len = probe_best(base, ip, mlimit, M, reps[0], &best_off);
     if (best_len < 4 ||
         (best_off != reps[0] && 6 * (int)best_len < 14 + highbit(best_off) + 1)) {
       // Miss acceleration: long literal runs step faster (ZSTD_fast-style),
       // which makes incompressible stretches near-free.
       ip += 1 + ((size_t)(ip - anchor) >> 8);
       continue;
+    }
+    // Lazy evaluation: a strictly better match one byte later wins.
+    for (int step = 0; step < lazy && ip + 1 < search_end && best_len < 128; step++) {
+      u32 off2;
+      u32 len2 = probe_best(base, ip + 1, mlimit, M, reps[0], &off2);
+      if (len2 >= best_len + 1 &&
+          !(off2 != reps[0] && 6 * (int)len2 < 14 + highbit(off2) + 1)) {
+        ip++;
+        best_len = len2;
+        best_off = off2;
+      } else {
+        break;
+      }
     }
     // backward extension
     while (ip > anchor && (size_t)(ip - base) > best_off &&
@@ -1116,7 +1135,6 @@ static const size_t BLOCK_MAX = 1 << 17;
 extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
                                     size_t cap, int level, int checksum,
                                     const u8* prefix, size_t prefix_n) {
-  (void)level;
   ensure_defaults();
   std::vector<u8> out;
   out.reserve(n / 2 + 256);
@@ -1167,7 +1185,8 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
     seqs.clear();
     lits.clear();
     u32 reps_in[3] = {reps[0], reps[1], reps[2]};
-    parse_block(base, prefix_n + pos, blen, M, reps, seqs, lits);
+    int lazy = level >= 7 ? 2 : (level >= 3 ? 1 : 0);
+    parse_block(base, prefix_n + pos, blen, M, reps, seqs, lits, lazy);
     std::vector<u8> body;
     write_literals_section(body, lits.data(), lits.size());
     write_sequences_section(body, seqs);
@@ -1588,6 +1607,9 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
 
 // -------------------------------------------- multi-threaded stream API ---
 
+static int g_mt_level = 1;
+extern "C" void zn_set_mt_level(int level) { g_mt_level = level; }
+
 extern "C" i64 zn_compress_stream_mt(const u8* src, size_t n, u8* dst,
                                      size_t cap, size_t frame_size,
                                      int checksum, int nthreads,
@@ -1604,7 +1626,7 @@ extern "C" i64 zn_compress_stream_mt(const u8* src, size_t n, u8* dst,
       size_t fn = std::min(frame_size, n - starts[i]);
       results[i].resize(fn + fn / 2 + 512);
       size_t r = zn_compress_frame(src + starts[i], fn, results[i].data(),
-                                   results[i].size(), 1, checksum, nullptr, 0);
+                                   results[i].size(), g_mt_level, checksum, nullptr, 0);
       if (r == (size_t)-1) { results[i].clear(); }
       else results[i].resize(r);
     }

@@ -92,22 +92,6 @@ def _get_parse_fn(n_pad: int, seq_bound: int):
     return _fns[key]
 
 
-def _get_fse_encode_fn(seq_bound: int, word_bound: int):
-    jax, jnp = _lazy_jax()
-    key = ("fse_enc", seq_bound, word_bound)
-    if key not in _fns:
-        from .ops.entropy import fse_encode_sequences
-
-        fn = jax.jit(
-            jax.vmap(
-                lambda *a: fse_encode_sequences(*a, word_bound=word_bound),
-                in_axes=(0,) * 10 + (None,) * 0 + (0,) * 9 + (0, 0, 0),
-            )
-        )
-        _fns[key] = fn
-    return _fns[key]
-
-
 def _get_huf_encode_fn(lit_bound: int, word_bound: int):
     jax, jnp = _lazy_jax()
     key = ("huf_enc", lit_bound, word_bound)
@@ -446,7 +430,6 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
     and entropy tables; Huffman/FSE symbol loops and sequence execution run
     on device). Returns (bytes, end_pos)."""
     jax, jnp = _lazy_jax()
-    from .codec.decompress import FrameDecodeState
     from .errors import checksum_wrong, corruption_detected
     from .ops.seq_exec import execute_sequences_tpu
 
