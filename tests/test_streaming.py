@@ -308,3 +308,20 @@ def test_encoder_reuse_after_into_seek_table():
     d2 = DecodeOptions(BytesWrapper(blob2)).with_seek_table(st2).into_decoder()
     assert d1.read(-1) == b"first stream"
     assert d2.read(-1) == b"second stream"
+
+
+def test_archive_with_skippable_frame_entries():
+    # Seek tables may log skippable frames as (c_size, 0) entries (spec:
+    # Decompressed_Size is 0 for skippable frames); the decoder must skip
+    # them when serving reads.
+    skippable = b"\x50\x2a\x4d\x18" + (4).to_bytes(4, "little") + b"META"
+    enc = RawEncoder(EncodeOptions())
+    f1 = enc.compress(INPUT[:5000]) + enc.end_frame()
+    st = enc.seek_table()
+    st.log_frame(len(skippable), 0)
+    enc2_out = enc.compress(INPUT[5000:9000]) + enc.end_frame()
+    blob = f1 + skippable + enc2_out + st.to_bytes()
+    dec = DecodeOptions(BytesWrapper(blob)).into_decoder()
+    assert dec.read(-1) == INPUT[:9000]
+    dec.seek(6000)
+    assert dec.read(1000) == INPUT[6000:7000]

@@ -25,8 +25,10 @@ def _build() -> bool:
     try:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
             return True
+        # -O2 measures ~10% faster than -O3 here: the codec's branchy
+        # loops lose from aggressive auto-vectorization.
         cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+            "g++", "-O2", "-march=native", "-shared", "-fPIC", "-pthread",
             "-o", _SO, _SRC,
         ]
         res = subprocess.run(cmd, capture_output=True, timeout=180)

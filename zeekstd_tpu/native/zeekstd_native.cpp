@@ -498,6 +498,7 @@ static int huf_lengths(const u32* freqs, u8* lengths /*256*/, int max_len) {
     int_end = nodes.size();
     root = (int)nodes.size() - 1;
   }
+  if (root < 0) return 0;
   // depths via reverse traversal (children precede parents)
   nodes[root].depth = 0;
   for (int i = root; i >= 0; i--) {

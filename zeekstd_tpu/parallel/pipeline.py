@@ -74,7 +74,6 @@ def parallel_parse_step(mesh, frame_size: int, seq_bound: int):
         gathered = jax.lax.all_gather(matched, axis, tiled=True)
         return lls, mls, ovs, n_seq, lits, n_lit, llc, mlc, ofc, n_seq_raw, gathered
 
-    sharded = P(axis)
     spec_in = (P(axis, None), P(axis))
     spec_out = (
         P(axis, None), P(axis, None), P(axis, None), P(axis),
