@@ -149,11 +149,10 @@ class RawEncoder:
             return False  # needs progressive compressed-size feedback
         if self.options.backend == "native":
             return True
-        # auto: the native runtime covers the greedy/lazy strategies
-        # (levels 1-12, all beating libzstd's sizes at the same level on
-        # text); the Python deep-search path serves the top levels.
-        if self.cctx.level > 12:
-            return False
+        # auto: the native runtime serves every level (greedy, lazy, and
+        # hash-chain strategies; levels 1-13 at or below libzstd's size on
+        # text, 17+ trail its optimal parser — a planned upgrade). The
+        # Python reference path stays available via backend="python".
         from .native import loader
 
         return loader.available()

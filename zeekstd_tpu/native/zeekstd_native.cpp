@@ -683,7 +683,14 @@ static bool huf_write_weights(std::vector<u8>& out, const HufEncTable* t) {
 static inline void huf_encode_stream(std::vector<u8>& out, const u8* src,
                                      size_t n, const HufEncTable* t) {
   BitWriter bw(&out);
-  for (size_t i = n; i-- > 0;) bw.add(t->codes[src[i]], t->nbits[src[i]]);
+  size_t i = n;
+  while (i >= 2) {
+    u8 a = src[i - 1], b = src[i - 2];
+    int na = t->nbits[a], nb2 = t->nbits[b];
+    bw.add_wide((u64)t->codes[a] | ((u64)t->codes[b] << na), na + nb2);
+    i -= 2;
+  }
+  if (i) bw.add(t->codes[src[0]], t->nbits[src[0]]);
   bw.finish();
 }
 
@@ -767,12 +774,14 @@ struct Seq { u32 ll, ml, ov; };  // ov = offset_value (repcodes 1..3 or off+3)
 struct Matcher {
   std::vector<i32> table;   // 1 << HASHLOG
   std::vector<i32> table2;  // long-hash table (16 bytes sampled)
+  std::vector<i32> chain;   // per-position previous same-hash (levels 13+)
   static const int HASHLOG = 17;
   Matcher() : table(1 << HASHLOG, -1), table2(1 << HASHLOG, -1) {}
   void reset() {
     std::fill(table.begin(), table.end(), -1);
     std::fill(table2.begin(), table2.end(), -1);
   }
+  void enable_chain(size_t window) { chain.assign(window, -1); }
   static inline u32 hash6(const u8* p) {
     u64 v = read64(p) & 0xFFFFFFFFFFFFULL;
     return (u32)((v * 0xCF1BBCDCB7A56463ULL) >> (64 - HASHLOG));
@@ -795,8 +804,10 @@ static inline u32 match_len(const u8* a, const u8* b, const u8* limit) {
 }
 
 // Best (length, offset) candidate at ip given both hash tables + rep probe.
+// ``depth`` > 0 additionally walks the per-position hash chain (levels 13+).
 static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
-                             Matcher& M, u32 rep1, u32* off_out) {
+                             Matcher& M, u32 rep1, u32* off_out,
+                             int depth = 0) {
   u32 best_len = 0, best_off = 0;
   size_t cur = (size_t)(ip - base);
   if (cur >= rep1 && read32(ip) == read32(ip - rep1)) {
@@ -805,10 +816,22 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
   }
   u32 h = Matcher::hash6(ip);
   i32 cand = M.table[h];
+  if (!M.chain.empty()) M.chain[cur] = cand;
   M.table[h] = (i32)cur;
   if (cand >= 0 && read32(base + cand) == read32(ip)) {
     u32 l = match_len(ip, base + cand, mlimit);
     if (l > best_len) { best_len = l; best_off = (u32)(cur - cand); }
+  }
+  if (depth > 0 && cand >= 0 && !M.chain.empty()) {
+    i32 c = M.chain[cand];
+    for (int t = 0; t < depth && c >= 0; t++) {
+      if (read32(base + c) == read32(ip)) {
+        u32 l = match_len(ip, base + c, mlimit);
+        // Prefer longer; equal lengths keep the nearer (cheaper) offset.
+        if (l > best_len) { best_len = l; best_off = (u32)(cur - c); }
+      }
+      c = M.chain[c];
+    }
   }
   u32 h2 = Matcher::hash16(ip);
   i32 cand2 = M.table2[h2];
@@ -827,7 +850,7 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
 // 1-2 lazy evaluation steps (higher levels trade speed for ratio).
 static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
                         u32 reps[3], std::vector<Seq>& seqs,
-                        std::vector<u8>& lits, int lazy) {
+                        std::vector<u8>& lits, int lazy, int depth) {
   const u8* base = src;
   const u8* ip = src + pos;
   const u8* iend = ip + len;
@@ -838,7 +861,7 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
 
   while (ip < search_end) {
     u32 best_off;
-    u32 best_len = probe_best(base, ip, mlimit, M, reps[0], &best_off);
+    u32 best_len = probe_best(base, ip, mlimit, M, reps[0], &best_off, depth);
     if (best_len < 4 ||
         (best_off != reps[0] && 6 * (int)best_len < 14 + highbit(best_off) + 1)) {
       // Miss acceleration: long literal runs step faster (ZSTD_fast-style),
@@ -849,7 +872,7 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
     // Lazy evaluation: a strictly better match one byte later wins.
     for (int step = 0; step < lazy && ip + 1 < search_end && best_len < 128; step++) {
       u32 off2;
-      u32 len2 = probe_best(base, ip + 1, mlimit, M, reps[0], &off2);
+      u32 len2 = probe_best(base, ip + 1, mlimit, M, reps[0], &off2, depth);
       if (len2 >= best_len + 1 &&
           !(off2 != reps[0] && 6 * (int)len2 < 14 + highbit(off2) + 1)) {
         ip++;
@@ -887,7 +910,9 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
     int stride = best_len < 64 ? 1 : 2;
     for (const u8* q = ip + 1; q < stop; q += stride) {
       size_t qo = (size_t)(q - base);
-      M.table[Matcher::hash6(q)] = (i32)qo;
+      u32 hq = Matcher::hash6(q);
+      if (!M.chain.empty()) M.chain[qo] = M.table[hq];
+      M.table[hq] = (i32)qo;
       M.table2[Matcher::hash16(q)] = (i32)qo;
     }
     ip = mend;
@@ -1155,13 +1180,18 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
   }
 
   Matcher M;
+  int depth = level >= 17 ? 48 : (level >= 13 ? 12 : 0);
+  if (depth) M.enable_chain(prefix_n + n);
   if (prefix_n) {
     // Index the prefix so matches can reach into it.
     const u8* p = base;
     const u8* pe = base + (prefix_n > 8 ? prefix_n - 8 : 0);
     for (; p < pe; p++) {
-      M.table[Matcher::hash6(p)] = (i32)(p - base);
-      M.table2[Matcher::hash16(p)] = (i32)(p - base);
+      size_t po = (size_t)(p - base);
+      u32 hp = Matcher::hash6(p);
+      if (depth) M.chain[po] = M.table[hp];
+      M.table[hp] = (i32)po;
+      M.table2[Matcher::hash16(p)] = (i32)po;
     }
   }
   u32 reps[3] = {1, 4, 8};
@@ -1186,8 +1216,8 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
     seqs.clear();
     lits.clear();
     u32 reps_in[3] = {reps[0], reps[1], reps[2]};
-    int lazy = level >= 7 ? 2 : (level >= 3 ? 1 : 0);
-    parse_block(base, prefix_n + pos, blen, M, reps, seqs, lits, lazy);
+    int lazy = level >= 13 ? 3 : (level >= 7 ? 2 : (level >= 3 ? 1 : 0));
+    parse_block(base, prefix_n + pos, blen, M, reps, seqs, lits, lazy, depth);
     std::vector<u8> body;
     write_literals_section(body, lits.data(), lits.size());
     write_sequences_section(body, seqs);
