@@ -230,3 +230,32 @@ def test_fse_decode_sequences_matches_host():
     np.testing.assert_array_equal(np.asarray(mls)[:n], expected.match_lengths)
     np.testing.assert_array_equal(np.asarray(offs)[:n], expected.offsets)
     assert tuple(int(x) for x in reps) == expected.rep_offsets
+
+
+@pytest.mark.parametrize("case", ["struct", "text", "tiny", "skewed"])
+def test_huffman_speculative_decode(case):
+    # Scan-free chunk-speculation decoder must match the host bit-exactly.
+    from zeekstd_tpu.ops.huffman_spec import decode_stream_spec_jit
+
+    data = {
+        "struct": structured_data(30_000),
+        "text": text_data(20_000),
+        "tiny": text_data(64),
+        "skewed": (b"aaaaaaaaab" * 3000)[:25_000],  # dominant symbol, short codes
+    }[case]
+    weights, codes, nb, max_bits = build_huffman(data)
+    stream = huf.encode_stream(data, codes, nb)
+    dt = huf.build_decode_table(list(weights[:-1]))
+    br = BackwardBitReader(stream)
+    start_bits = br.remaining
+    padded = stream.ljust((len(stream) + 3) // 4 * 4, b"\0")
+    words = jnp.asarray(np.frombuffer(padded, "<u4"))
+    sym = np.zeros(2048, np.int32); sym[: dt.symbol.shape[0]] = dt.symbol
+    nbt = np.zeros(2048, np.int32); nbt[: dt.nb_bits.shape[0]] = dt.nb_bits
+    out_bound = 1 << max((len(data) - 1).bit_length(), 4)
+    out, n = decode_stream_spec_jit(
+        words, jnp.int32(start_bits), out_bound,
+        jnp.asarray(sym), jnp.asarray(nbt), jnp.int32(dt.max_bits),
+    )
+    assert int(n) == len(data)
+    assert bytes(np.asarray(out)[: len(data)]) == data

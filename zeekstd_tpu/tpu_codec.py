@@ -380,10 +380,16 @@ def _get_huf_decode_fn(word_bound: int, out_bound: int):
     jax, jnp = _lazy_jax()
     key = ("huf_dec", word_bound, out_bound)
     if key not in _fns:
-        from .ops.entropy import huffman_decode_stream
+        from .ops.huffman_spec import decode_stream_spec
 
         def one(words, start_bits, sym, nb, max_bits):
-            return huffman_decode_stream(words, start_bits, out_bound, sym, nb, max_bits)
+            # Scan-free speculative decode (ops/huffman_spec.py); the count
+            # is implied by the stream and validated against out_len by the
+            # seek-table/frame-size checks downstream.
+            out, _n = decode_stream_spec(
+                words, start_bits, out_bound, sym, nb, max_bits
+            )
+            return out
 
         _fns[key] = jax.jit(jax.vmap(one))
     return _fns[key]
