@@ -117,10 +117,13 @@ class Progress:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from . import __version__
+
     p = argparse.ArgumentParser(
         prog="zeekstd",
         description="Compress/decompress data in the Zstandard Seekable Format.",
     )
+    p.add_argument("-V", "--version", action="version", version=f"zeekstd_tpu {__version__}")
     p.add_argument("-q", "--quiet", action="store_true", help="suppress output")
     p.add_argument(
         "--raw-bytes", action="store_true", help="print byte counts without units"
@@ -444,8 +447,9 @@ def main(argv=None) -> int:
     parser = build_parser()
     # No subcommand = compress (reference: cli/src/main.rs:29-31).
     known = {"compress", "decompress", "d", "list", "l", "-h", "--help"}
+    passthrough = {"-h", "--help", "-V", "--version"}
     first_positional = next((a for a in argv if not a.startswith("-")), None)
-    if first_positional not in known and "-h" not in argv and "--help" not in argv:
+    if first_positional not in known and not passthrough.intersection(argv):
         # Find insertion point after global flags.
         insert_at = 0
         for i, a in enumerate(argv):
