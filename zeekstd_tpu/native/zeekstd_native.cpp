@@ -1808,6 +1808,9 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
   const u64 INF = ~0ULL;
   static thread_local std::vector<u64> price;
   static thread_local std::vector<u32> from_len, from_off;
+  // rep1 along the best path reaching each position: lets the DP price
+  // repeat-offset matches at their true (near-free) cost.
+  static thread_local std::vector<u32> rep_at;
   // Pass-1 candidates are recorded and replayed in pass 2 (the hash
   // tables cannot be re-walked once fully populated).
   static thread_local std::vector<OptCand> cand_store;
@@ -1821,6 +1824,7 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
   price.assign(n + 1, INF);
   from_len.assign(n + 1, 0);
   from_off.assign(n + 1, 0);
+  rep_at.assign(n + 1, reps[0]);
   price[0] = 0;
 
   const u8* mlimit = bp + n;
@@ -1829,9 +1833,14 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
   size_t skip_gather_until = 0;
   for (size_t i = 0; i < n; i++) {
     u64 p = price[i];
+    u32 rep_here = rep_at[i];
     // literal step (keeps every position reachable)
     u64 lp = p + lit_price[bp[i]];
-    if (lp < price[i + 1]) { price[i + 1] = lp; from_len[i + 1] = 0; }
+    if (lp < price[i + 1]) {
+      price[i + 1] = lp;
+      from_len[i + 1] = 0;
+      rep_at[i + 1] = rep_here;
+    }
     if (bp + i >= search_end) continue;
     if (pass == 0 && i < skip_gather_until && (i & 15)) {
       // Interior of a long match: insert-only at 15 of 16 positions, but
@@ -1842,7 +1851,7 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
     }
     int nc;
     if (pass == 0) {
-      nc = gather_cands(base, bp + i, mlimit, M, reps[0], depth, cands);
+      nc = gather_cands(base, bp + i, mlimit, M, rep_here, depth, cands);
       cand_off_idx[i] = (u32)cand_store.size();
       cand_cnt[i] = (u16)nc;
       for (int c = 0; c < nc; c++) cand_store.push_back(cands[c]);
@@ -1855,7 +1864,7 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
     }
     for (int c = 0; c < nc; c++) {
       u32 L = cands[c].len, O = cands[c].off;
-      u32 oprice = (O == reps[0]) ? 2 * 16 : of_price[highbit(O + 3)];
+      u32 oprice = (O == rep_here) ? 2 * 16 : of_price[highbit(O + 3)];
       auto relax = [&](u32 l) {
         u32 mlc = ml_code(l);
         u64 mp = p + SEQ_OVERHEAD + oprice + ml_price[mlc];
@@ -1863,6 +1872,7 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
           price[i + l] = mp;
           from_len[i + l] = l;
           from_off[i + l] = O;
+          rep_at[i + l] = O;
         }
       };
       // Dense lengths up to 64; beyond that only ml-code boundaries and L
