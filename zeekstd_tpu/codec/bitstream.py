@@ -137,3 +137,35 @@ class BitWriter:
             self._acc = 0
             self._nbits = 0
         return bytes(self._out)
+
+
+def pack_bits_numpy(values, nbits) -> bytes:
+    """Vectorized LSB-first bit packing with closing sentinel (numpy twin of
+    ops/bitpack.pack_bits + finish): values/nbits are integer arrays."""
+    import numpy as np
+
+    values = np.asarray(values, dtype=np.uint64)
+    nbits = np.asarray(nbits, dtype=np.int64)
+    mask = np.where(nbits >= 64, ~np.uint64(0), (np.uint64(1) << nbits.astype(np.uint64)) - np.uint64(1))
+    values = values & mask
+    offsets = np.cumsum(nbits) - nbits
+    total = int(nbits.sum())
+    nwords = total // 32 + 3
+    w = (offsets >> 5).astype(np.int64)
+    sh = (offsets & 31).astype(np.uint64)
+    lo = (values << sh) & np.uint64(0xFFFFFFFF)
+    hi = (values >> (np.uint64(32) - sh)) & np.uint64(0xFFFFFFFF)
+    hi = np.where(sh == 0, np.uint64(0), hi)
+    # values can span 3 words when nbits + sh > 64
+    hi2 = np.where(sh == 0, np.uint64(0), values >> (np.uint64(64) - sh)) & np.uint64(0xFFFFFFFF)
+    words = np.zeros(nwords, np.uint64)
+    np.add.at(words, w, lo)
+    np.add.at(words, w + 1, hi)
+    np.add.at(words, w + 2, hi2)
+    raw = words.astype("<u4").tobytes()
+    nbytes = total // 8 + 1
+    buf = bytearray(raw[:nbytes])
+    while len(buf) < nbytes:
+        buf.append(0)
+    buf[total // 8] |= 1 << (total % 8)
+    return bytes(buf)

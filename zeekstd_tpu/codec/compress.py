@@ -66,6 +66,9 @@ def compress_frame(
     window_log: int = 0,
 ) -> bytes:
     """Compress ``data`` into a single complete zstd frame."""
+    if level <= 4 and not prefix and window_log == 0 and len(data) >= 4096:
+        # Vectorized whole-frame fast path (numpy port of the TPU parse).
+        return compress_frame_fast(data, checksum=checksum)
     enc = FrameEncoder(
         level=level,
         checksum=checksum,
@@ -74,6 +77,60 @@ def compress_frame(
         content_size=len(data),
     )
     return enc.compress(data) + enc.finish()
+
+
+def compress_frame_fast(data: bytes, checksum: bool = False) -> bytes:
+    """One-shot frame compression with the vectorized numpy parse
+    (codec/match_fast.py) and the standard section writers."""
+    from ..constants import ZSTD_BLOCK_SIZE_MAX
+    from ..xxhash64 import XXH64 as _X
+    from .block_compress import encode_literals_section
+    from .match import Sequence, encode_offset
+    from .match_fast import parse_frame_numpy
+    from .seq_encode import encode_sequences_section
+
+    n = len(data)
+    out = bytearray(frame_mod.write_frame_header(n, max(n, 1024), checksum))
+    blocks = parse_frame_numpy(data, ZSTD_BLOCK_SIZE_MAX)
+    reps = (1, 4, 8)
+    huf_state = type("S", (), {"huf_table": None})()
+    seq_tables: dict = {}
+    for b, (triples, lits_b) in enumerate(blocks):
+        last = b == len(blocks) - 1
+        b_start = b * ZSTD_BLOCK_SIZE_MAX
+        b_len = min(ZSTD_BLOCK_SIZE_MAX, n - b_start)
+        raw_block = data[b_start : b_start + b_len]
+        if b_len and raw_block.count(raw_block[0]) == b_len:
+            out += frame_mod.write_block_header(last, frame_mod.BLOCK_RLE, b_len)
+            out += raw_block[:1]
+            continue
+        reps_in = reps
+        huf_before = huf_state.huf_table
+        tables_before = dict(seq_tables)
+        seqs = []
+        for ll, ml, off in triples:
+            ov, reps = encode_offset(off, ll, reps)
+            seqs.append(Sequence(ll, ml, ov))
+        body = encode_literals_section(lits_b, huf_state) + encode_sequences_section(
+            seqs, seq_tables
+        )
+        if len(body) >= b_len:
+            reps = reps_in
+            huf_state.huf_table = huf_before
+            seq_tables.clear()
+            seq_tables.update(tables_before)
+            out += frame_mod.write_block_header(last, frame_mod.BLOCK_RAW, b_len)
+            out += raw_block
+        else:
+            out += frame_mod.write_block_header(
+                last, frame_mod.BLOCK_COMPRESSED, len(body)
+            )
+            out += body
+    if checksum:
+        h = _X(0)
+        h.update(data)
+        out += (h.digest() & 0xFFFF_FFFF).to_bytes(4, "little")
+    return bytes(out)
 
 
 class FrameEncoder:

@@ -284,13 +284,11 @@ def write_weights(weights) -> bytes:
 
 
 def encode_stream(data, codes, nb) -> bytes:
-    """Encode one literal run as a backward Huffman bitstream."""
-    from .bitstream import BitWriter
+    """Encode one literal run as a backward Huffman bitstream (vectorized)."""
+    from .bitstream import pack_bits_numpy
 
-    bw = BitWriter()
-    for b in reversed(data):
-        bw.add(int(codes[b]), int(nb[b]))
-    return bw.finish()
+    arr = np.frombuffer(bytes(data), np.uint8)[::-1]
+    return pack_bits_numpy(codes[arr], nb[arr])
 
 
 def compress_literals_1stream(data, codes, nb) -> bytes:

@@ -184,27 +184,75 @@ def encode_sequences_section(seqs, prev_tables=None) -> bytes:
     out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
     out += ll_desc + of_desc + ml_desc
 
-    bw = BitWriter()
+    # Vectorized bitstream assembly: state chains run as a lean
+    # python-int loop; extras and bit placement are numpy
+    # (bitstream.pack_bits_numpy). Byte-identical to the BitWriter path.
+    from .bitstream import pack_bits_numpy
+
     last = n - 1
-    ml_state = FseEncState(ml_t, int(ml_codes[last]))
-    of_state = FseEncState(of_t, int(of_codes[last]))
-    ll_state = FseEncState(ll_t, int(ll_codes[last]))
+    lls_arr = np.array([s.ll for s in seqs], dtype=np.int64)
+    mls_arr = np.array([s.ml for s in seqs], dtype=np.int64)
+    ovs_arr = np.array([s.offset_value for s in seqs], dtype=np.int64)
+    ll_e = lls_arr - LL_BASE[ll_codes].astype(np.int64)
+    ll_b = LL_BITS[ll_codes].astype(np.int64)
+    ml_e = mls_arr - ML_BASE[ml_codes].astype(np.int64)
+    ml_b = ML_BITS[ml_codes].astype(np.int64)
+    of_e = ovs_arr - (np.int64(1) << of_codes)
+    of_b = of_codes
 
-    def add_extras(i: int) -> None:
-        s = seqs[i]
-        lc, mc, oc = int(ll_codes[i]), int(ml_codes[i]), int(of_codes[i])
-        bw.add(s.ll - int(LL_BASE[lc]), int(LL_BITS[lc]))
-        bw.add(s.ml - int(ML_BASE[mc]), int(ML_BITS[mc]))
-        bw.add(s.offset_value - (1 << oc), oc)
+    def chain(table, codes):
+        dnb = [int(x) for x in table.delta_nb_bits]
+        dfs = [int(x) for x in table.delta_find_state]
+        stt = [int(x) for x in table.state_table]
+        sym0 = int(codes[last])
+        nb0 = (dnb[sym0] + (1 << 15)) >> 16
+        state = stt[((((nb0 << 16) - dnb[sym0])) >> nb0) + dfs[sym0]]
+        vals = [0] * (n - 1)
+        bits = [0] * (n - 1)
+        k = 0
+        for i in range(n - 2, -1, -1):
+            sym = codes[i]
+            nb = (state + dnb[sym]) >> 16
+            vals[k] = state
+            bits[k] = nb
+            state = stt[(state >> nb) + dfs[sym]]
+            k += 1
+        return vals, bits, state, table.accuracy_log
 
-    add_extras(last)
-    for i in range(n - 2, -1, -1):
-        of_state.encode(bw, int(of_codes[i]))
-        ml_state.encode(bw, int(ml_codes[i]))
-        ll_state.encode(bw, int(ll_codes[i]))
-        add_extras(i)
-    ml_state.flush(bw)
-    of_state.flush(bw)
-    ll_state.flush(bw)
-    out += bw.finish()
+    codes_ll = ll_codes.tolist()
+    codes_ml = ml_codes.tolist()
+    codes_of = of_codes.tolist()
+    of_v, of_nb, of_sf, of_log = chain(of_t, codes_of)
+    ml_v, ml_nb, ml_sf, ml_log = chain(ml_t, codes_ml)
+    ll_v, ll_nb, ll_sf, ll_log = chain(ll_t, codes_ll)
+
+    # Item order per written stream: head extras (last seq: ll, ml, of),
+    # then per i = n-2..0: of/ml/ll state bits + ll/ml/of extras, then the
+    # three state flushes (ml, of, ll) and the sentinel (added by packer).
+    m = n - 1
+    vals = np.empty(3 + 6 * m + 3, dtype=np.int64)
+    bits = np.empty_like(vals)
+    vals[0:3] = (ll_e[last], ml_e[last], of_e[last])
+    bits[0:3] = (ll_b[last], ml_b[last], of_b[last])
+    if m:
+        rev = np.arange(n - 2, -1, -1)
+        body_v = np.empty((m, 6), dtype=np.int64)
+        body_b = np.empty((m, 6), dtype=np.int64)
+        body_v[:, 0] = of_v
+        body_b[:, 0] = of_nb
+        body_v[:, 1] = ml_v
+        body_b[:, 1] = ml_nb
+        body_v[:, 2] = ll_v
+        body_b[:, 2] = ll_nb
+        body_v[:, 3] = ll_e[rev]
+        body_b[:, 3] = ll_b[rev]
+        body_v[:, 4] = ml_e[rev]
+        body_b[:, 4] = ml_b[rev]
+        body_v[:, 5] = of_e[rev]
+        body_b[:, 5] = of_b[rev]
+        vals[3 : 3 + 6 * m] = body_v.reshape(-1)
+        bits[3 : 3 + 6 * m] = body_b.reshape(-1)
+    vals[3 + 6 * m :] = (ml_sf, of_sf, ll_sf)
+    bits[3 + 6 * m :] = (ml_log, of_log, ll_log)
+    out += pack_bits_numpy(vals, bits)
     return bytes(out)
