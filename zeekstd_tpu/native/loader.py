@@ -16,6 +16,14 @@ import threading
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_scratch = bytearray(0)  # reused output buffer (per-call allocs cost ~30%)
+
+
+def _get_scratch(cap: int):
+    global _scratch
+    if len(_scratch) < cap:
+        _scratch = bytearray(cap + cap // 2)
+    return _scratch
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "zeekstd_native.cpp")
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libzeekstd_native.so")
@@ -123,14 +131,16 @@ def compress_stream_mt(data: bytes, frame_size: int, checksum: bool = False, nth
     n = len(data)
     nframes = -(-n // frame_size) if n else 0
     cap = n + n // 2 + 4096 + 16 * max(nframes, 1)
-    dst = ctypes.create_string_buffer(cap)
+    dst = _get_scratch(cap)
+    dst_p = (ctypes.c_char * len(dst)).from_buffer(dst)
     sizes = (ctypes.c_uint32 * max(nframes, 1))()
     r = lib.zn_compress_stream_mt(
-        bytes(data), n, dst, cap, frame_size, int(checksum), nthreads, sizes
+        bytes(data), n, dst_p, cap, frame_size, int(checksum), nthreads, sizes
     )
+    del dst_p
     if r < 0:
         raise RuntimeError("native stream compress failed")
-    return dst.raw[:r], [sizes[i] for i in range(nframes)]
+    return bytes(memoryview(dst)[:r]), [sizes[i] for i in range(nframes)]
 
 
 def decompress_stream_mt(blob: bytes, frame_offsets, frame_dst_offsets, nthreads: int = 0) -> bytes:
@@ -139,12 +149,14 @@ def decompress_stream_mt(blob: bytes, frame_offsets, frame_dst_offsets, nthreads
     lib = get_lib()
     nframes = len(frame_offsets) - 1
     total = frame_dst_offsets[-1]
-    dst = ctypes.create_string_buffer(max(total, 1))
+    dst = _get_scratch(max(total, 1))
+    dst_p = (ctypes.c_char * len(dst)).from_buffer(dst)
     fo = (ctypes.c_uint64 * len(frame_offsets))(*frame_offsets)
     do = (ctypes.c_uint64 * len(frame_dst_offsets))(*frame_dst_offsets)
     r = lib.zn_decompress_stream_mt(
-        bytes(blob), len(blob), dst, max(total, 1), fo, do, nframes, nthreads
+        bytes(blob), len(blob), dst_p, max(total, 1), fo, do, nframes, nthreads
     )
+    del dst_p
     if r < 0:
         raise RuntimeError("native stream decompress failed")
-    return dst.raw[:r]
+    return bytes(memoryview(dst)[:r])

@@ -852,6 +852,67 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
                             u32 reps[3], std::vector<Seq>& seqs,
                             std::vector<u8>& lits, int depth);
 
+static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
+                           u32 reps[3], std::vector<Seq>& seqs,
+                           std::vector<u8>& lits) {
+  const u8* base = src;
+  const u8* ip = src + pos;
+  const u8* iend = ip + len;
+  const u8* anchor = ip;
+  const u8* mlimit = iend;
+  if (len < 16) { lits.insert(lits.end(), ip, iend); return; }
+  const u8* search_end = iend - 8;
+  while (ip < search_end) {
+    u32 best_len = 0, best_off = 0;
+    size_t cur = (size_t)(ip - base);
+    u32 r1 = reps[0];
+    if (cur >= r1 && read32(ip) == read32(ip - r1)) {
+      best_len = match_len(ip, ip - r1, mlimit);
+      best_off = r1;
+    }
+    u32 h = Matcher::hash6(ip);
+    i32 cand = M.table[h];
+    M.table[h] = (i32)cur;
+    if (cand >= 0 && read32(base + cand) == read32(ip)) {
+      u32 l = match_len(ip, base + cand, mlimit);
+      if (l > best_len) { best_len = l; best_off = (u32)(cur - cand); }
+    }
+    if (best_len < 4 ||
+        (best_off != reps[0] && 6 * (int)best_len < 14 + highbit(best_off) + 1)) {
+      ip += 1 + ((size_t)(ip - anchor) >> 8);
+      continue;
+    }
+    while (ip > anchor && (size_t)(ip - base) > best_off &&
+           ip[-1] == *(ip - best_off - 1)) {
+      ip--; best_len++;
+    }
+    u32 ll = (u32)(ip - anchor);
+    lits.insert(lits.end(), anchor, ip);
+    u32 ov;
+    u32 r2 = reps[1], r3 = reps[2];
+    if (ll != 0) {
+      if (best_off == reps[0]) ov = 1;
+      else if (best_off == r2) { ov = 2; reps[1] = reps[0]; reps[0] = best_off; }
+      else if (best_off == r3) { ov = 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+      else { ov = best_off + 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+    } else {
+      if (best_off == r2) { ov = 1; reps[1] = reps[0]; reps[0] = best_off; }
+      else if (best_off == r3) { ov = 2; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+      else if (best_off + 1 == reps[0] && best_off != 0) { ov = 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+      else { ov = best_off + 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+    }
+    seqs.push_back({ll, best_len, ov});
+    const u8* mend = ip + best_len;
+    const u8* stop = mend < search_end ? mend : search_end;
+    int stride = best_len < 64 ? 1 : 2;
+    for (const u8* q = ip + 1; q < stop; q += stride)
+      M.table[Matcher::hash6(q)] = (i32)(q - base);
+    ip = mend;
+    anchor = ip;
+  }
+  lits.insert(lits.end(), anchor, iend);
+}
+
 static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
                         u32 reps[3], std::vector<Seq>& seqs,
                         std::vector<u8>& lits, int lazy, int depth) {
@@ -1223,6 +1284,8 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
     int lazy = level >= 13 ? 3 : (level >= 7 ? 2 : (level >= 3 ? 1 : 0));
     if (level >= 15)
       parse_block_opt(base, prefix_n + pos, blen, M, reps, seqs, lits, depth);
+    else if (level <= 1 && !prefix_n)
+      parse_block_l1(base, prefix_n + pos, blen, M, reps, seqs, lits);
     else
       parse_block(base, prefix_n + pos, blen, M, reps, seqs, lits, lazy, depth);
     std::vector<u8> body;
