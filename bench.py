@@ -106,14 +106,14 @@ def bench_native(corpus: bytes, frame_size: int):
         return None
     n = len(corpus)
     # Warm-up + correctness.
-    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=6)
+    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=8)
     st = SeekTable.from_frames(
         (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
     )
     best_enc = 0.0
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.time()
-        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=6)
+        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=8)
         st = SeekTable.from_frames(
             (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
         )
@@ -124,7 +124,7 @@ def bench_native(corpus: bytes, frame_size: int):
     out = loader.decompress_stream_mt(blob, list(map(int, c_off)), list(map(int, d_off)))
     assert out == corpus, "native decode round-trip mismatch"
     best_dec = 0.0
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.time()
         out = loader.decompress_stream_mt(
             blob, list(map(int, c_off)), list(map(int, d_off)), nthreads=6

@@ -325,3 +325,21 @@ def test_archive_with_skippable_frame_entries():
     assert dec.read(-1) == INPUT[:9000]
     dec.seek(6000)
     assert dec.read(1000) == INPUT[6000:7000]
+
+
+def test_decoder_set_prefix_per_call():
+    # Per-call prefix switching (reference: decompress_with_prefix).
+    from .test_decompress import random_data
+
+    old = random_data(30_000, seed=31)
+    new = old[:10_000] + b"EDIT" + old[10_000:]
+    enc = RawEncoder(EncodeOptions())
+    patch = enc.compress_with_prefix(new, old) + enc.end_frame()
+    st = enc.seek_table()
+    dec = DecodeOptions(BytesWrapper(patch)).with_seek_table(st).into_decoder()
+    dec.set_prefix(old)
+    assert dec.read(-1) == new
+    dec.reset()
+    dec.set_prefix(None)  # without the prefix the frame must fail
+    with pytest.raises(Exception):
+        dec.read(-1)

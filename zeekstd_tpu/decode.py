@@ -212,6 +212,14 @@ class Decoder:
         self._validate_offset(limit)
         self.offset_limit = limit
 
+    def set_prefix(self, prefix) -> None:
+        """Change the referenced prefix for subsequently decoded frames
+        (the per-call prefix of the reference's decompress_with_prefix,
+        lib/src/decode.rs:201-270); drops the cached frame."""
+        self._prefix = bytes(prefix) if prefix is not None else None
+        self._cur_frame = None
+        self._cur_data = None
+
     def set_lower_frame(self, index: int) -> None:
         self.set_offset(self._st.frame_start_decomp(index))
 
