@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -pthread -o libzeekstd_native.so
 
+#include <cstdio>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -110,18 +111,14 @@ struct BitWriter {
   inline void flush_bytes() {
     while (nbits >= 8) { out->push_back((u8)acc); acc >>= 8; nbits -= 8; }
   }
-  // fused write of up to 57 bits (value already masked by caller)
+  // fused write of up to 63 bits (value already masked by caller). Split
+  // into two <=32-bit adds: a single `acc |= value << nbits` would drop
+  // high bits whenever n + nbits > 64 (seen with large ll+ml+offset
+  // extras fused into one 40+ bit write).
   inline void add_wide(u64 value, int n) {
-    acc |= value << nbits;
-    nbits += n;
-    while (nbits >= 32) {
-      size_t pos = out->size();
-      out->resize(pos + 4);
-      u32 lo = (u32)acc;
-      memcpy(out->data() + pos, &lo, 4);
-      acc >>= 32;
-      nbits -= 32;
-    }
+    if (n <= 32) { add((u32)value, n); return; }
+    add((u32)value, 32);
+    add((u32)(value >> 32), n - 32);
   }
   inline void finish() {  // sentinel + byte align
     add(1, 1);
@@ -775,16 +772,41 @@ struct Matcher {
   std::vector<i32> table;   // 1 << HASHLOG
   std::vector<i32> table2;  // long-hash table (16 bytes sampled)
   std::vector<i32> chain;   // per-position previous same-hash (levels 13+)
+  std::vector<i32> table3;  // 3-byte hash (optimal parser: near short matches)
+  // Binary-tree matchfinder (optimal parser): per 4-byte-hash bucket, a
+  // tree of earlier positions sorted by suffix; search+insert costs
+  // O(nb_compares) with amortized length extension.
+  std::vector<i32> btree;   // 2*window: left/right child per position
+  std::vector<i32> btroot;  // 1 << HASHLOG: most recent position per bucket
   static const int HASHLOG = 17;
-  Matcher() : table(1 << HASHLOG, -1), table2(1 << HASHLOG, -1) {}
+  static const int HASHLOG3 = 15;
+  Matcher() : table(1 << HASHLOG, -1), table2(1 << HASHLOG, -1),
+              table3(1 << HASHLOG3, -1) {}
   void reset() {
     std::fill(table.begin(), table.end(), -1);
     std::fill(table2.begin(), table2.end(), -1);
+    std::fill(table3.begin(), table3.end(), -1);
   }
   void enable_chain(size_t window) { chain.assign(window, -1); }
+  bool bt3 = false;  // tree buckets hash 3 bytes (min-match 3, deepest level)
+  void enable_bt(size_t window, bool use3) {
+    btree.assign(2 * window, -1);
+    btroot.assign(1 << HASHLOG, -1);
+    bt3 = use3;
+  }
+  static inline u32 hash4(const u8* p) {
+    return (read32(p) * 2654435761u) >> (32 - HASHLOG);
+  }
+  static inline u32 hash3w(const u8* p) {
+    return ((read32(p) & 0xFFFFFF) * 2654435761u) >> (32 - HASHLOG);
+  }
   static inline u32 hash6(const u8* p) {
     u64 v = read64(p) & 0xFFFFFFFFFFFFULL;
     return (u32)((v * 0xCF1BBCDCB7A56463ULL) >> (64 - HASHLOG));
+  }
+  static inline u32 hash3(const u8* p) {
+    u32 v = read32(p) & 0xFFFFFF;
+    return (v * 2654435761u) >> (32 - HASHLOG3);
   }
   static inline u32 hash16(const u8* p) {
     u64 v = read64(p) * 0x9E3779B185EBCA87ULL ^ read64(p + 8) * 0xC2B2AE3D27D4EB4FULL;
@@ -851,6 +873,10 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
 static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
                             u32 reps[3], std::vector<Seq>& seqs,
                             std::vector<u8>& lits, int depth);
+struct OptCand { u32 len, off; };
+static int bt_insert_search(const u8* base, const u8* ip, const u8* iend,
+                            Matcher& M, int nb_compares, OptCand* out,
+                            bool collect, u32 rec_cap);
 
 static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
                            u32 reps[3], std::vector<Seq>& seqs,
@@ -1245,18 +1271,24 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
   }
 
   Matcher M;
-  int depth = level >= 17 ? 48 : (level >= 13 ? 12 : 0);
+  int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : 0));
   if (depth) M.enable_chain(prefix_n + n);
+  if (level >= 15) M.enable_bt(prefix_n + n, false);
   if (prefix_n) {
     // Index the prefix so matches can reach into it.
     const u8* p = base;
     const u8* pe = base + (prefix_n > 8 ? prefix_n - 8 : 0);
+    OptCand dummy[1];
     for (; p < pe; p++) {
       size_t po = (size_t)(p - base);
       u32 hp = Matcher::hash6(p);
       if (depth) M.chain[po] = M.table[hp];
       M.table[hp] = (i32)po;
       M.table2[Matcher::hash16(p)] = (i32)po;
+      if (!M.btree.empty()) {
+        M.table3[Matcher::hash3(p)] = (i32)po;
+        bt_insert_search(base, p, base + prefix_n, M, 24, dummy, false, 4096);
+      }
     }
   }
   u32 reps[3] = {1, 4, 8};
@@ -1782,39 +1814,124 @@ extern "C" i64 zn_decompress_stream_mt(const u8* src, size_t n, u8* dst,
 // ------------------------------------------- optimal parser (levels 15+) ---
 //
 // Forward dynamic program over block positions with entropy-estimated
-// prices (the btopt idea): literals priced from the block's byte histogram,
-// matches priced as offset bits + length-code bits + a per-sequence
-// overhead. Candidates come from the existing chain/long tables. Rep-0
-// continuation is priced cheaply to keep merged runs attractive.
+// prices (libzstd's btopt idea, rebuilt): literals priced from the block
+// histogram, each sequence priced as LL-code + ML-code + OF-code bits with
+// the repeat-offset rules applied exactly as the sequence writer will
+// (reference zeekstd delegates this to libzstd's ZSTD_opt.c). The DP
+// tracks, per position on the best path, the full repeat-offset triple and
+// the pending literal-run length, so rep matches and literal-length codes
+// are priced truthfully. Candidates: 3-byte hash (near short matches),
+// 6-byte hash chain, 16-byte long table, plus all three reps at every
+// position. Prices refine between passes from the previous parse's actual
+// code statistics (2 passes; 3 at the deepest search level).
 
-struct OptCand { u32 len, off; };
+
+// Insert ip into the suffix tree of its 4-byte bucket and (optionally)
+// collect strictly-lengthening candidates along the walk. The tree keeps
+// earlier same-bucket positions sorted by suffix, so each of the
+// ``nb_compares`` steps halves the candidate set and byte comparisons
+// resume from the shorter of the two boundary prefixes (amortized O(1)
+// per step). Giant or end-reaching suffixes cannot be ordered and
+// terminate the walk (their subtree is dropped — bounded worst case).
+static int bt_insert_search(const u8* base, const u8* ip, const u8* iend,
+                            Matcher& M, int nb_compares, OptCand* out,
+                            bool collect, u32 rec_cap) {
+  size_t cur = (size_t)(ip - base);
+  u32 h = M.bt3 ? Matcher::hash3w(ip) : Matcher::hash4(ip);
+  i32 prev = M.btroot[h];
+  M.btroot[h] = (i32)cur;
+  i32* leftP = &M.btree[2 * cur];
+  i32* rightP = &M.btree[2 * cur + 1];
+  u32 commonL = 0, commonR = 0;
+  int n = 0;
+  // min-match 3 trees record len-3 candidates too; 4-byte trees leave
+  // len 3 to the near hash3 probe.
+  u32 best = M.bt3 ? 2 : 3;
+  while (prev >= 0 && nb_compares-- > 0) {
+    const u8* pp = base + prev;
+    u32 ml = commonL < commonR ? commonL : commonR;
+    u32 l = ml + match_len(ip + ml, pp + ml, iend);
+    if (collect && l > best && n < 20) {
+      out[n++] = {l > rec_cap ? rec_cap : l, (u32)(cur - prev)};
+      best = l;
+    }
+    if (ip + l >= iend || l > 4096) {
+      *leftP = -1;
+      *rightP = -1;
+      return n;
+    }
+    if (pp[l] < ip[l]) {
+      // prev's suffix sorts below cur: attach on the left, descend into
+      // prev's right (larger) subtree.
+      *leftP = prev;
+      i32 nxt = M.btree[2 * prev + 1];
+      leftP = &M.btree[2 * prev + 1];
+      commonL = l;
+      prev = nxt;
+    } else {
+      *rightP = prev;
+      i32 nxt = M.btree[2 * prev];
+      rightP = &M.btree[2 * prev];
+      commonR = l;
+      prev = nxt;
+    }
+  }
+  *leftP = -1;
+  *rightP = -1;
+  return n;
+}
 
 static int gather_cands(const u8* base, const u8* ip, const u8* mlimit,
-                        Matcher& M, u32 rep1, int depth, OptCand* out,
+                        Matcher& M, int depth, OptCand* out,
                         bool probe = true) {
   int n = 0;
   size_t cur = (size_t)(ip - base);
+  u32 h3 = Matcher::hash3(ip);
+  if (!M.btree.empty()) {
+    // Binary-tree path: 3-byte near probe + suffix-tree search. Insert-only
+    // walks still thread the tree (cheaper: fewer compares).
+    if (probe) {
+      i32 c3 = M.table3[h3];
+      M.table3[h3] = (i32)cur;
+      if (c3 >= 0 && (size_t)c3 < cur && cur - c3 <= 1024 &&
+          ((read32(base + c3) ^ read32(ip)) & 0xFFFFFF) == 0) {
+        u32 l = match_len(ip, base + c3, mlimit);
+        if (l >= 3) out[n++] = {l > 4096 ? 4096 : l, (u32)(cur - c3)};
+      }
+    } else {
+      M.table3[h3] = (i32)cur;
+    }
+    n += bt_insert_search(base, ip, mlimit, M, probe ? depth * 8 : depth,
+                          out + n, probe, 4096);
+    return n;
+  }
+  u32 h = Matcher::hash6(ip);
+  u32 h2 = Matcher::hash16(ip);
   if (!probe) {
     // Insert-only fast path (interior of a long match): keep the tables
     // populated so later positions still find their candidates.
-    u32 h = Matcher::hash6(ip);
     if (!M.chain.empty() && (size_t)M.chain.size() > cur) M.chain[cur] = M.table[h];
     M.table[h] = (i32)cur;
-    M.table2[Matcher::hash16(ip)] = (i32)cur;
+    M.table2[h2] = (i32)cur;
+    M.table3[h3] = (i32)cur;
     return 0;
   }
   // Cap per-candidate scan: without this, overlapping giant matches make
   // the DP O(n*L). Long runs simply split into capped sequences.
   if (mlimit - ip > 4096) mlimit = ip + 4096;
-  if (cur >= rep1 && read32(ip) == read32(ip - rep1)) {
-    u32 l = match_len(ip, ip - rep1, mlimit);
-    if (l >= 4) out[n++] = {l, rep1};
+  // 3-byte probe: only worth keeping when near (short matches only pay
+  // off against small offset codes).
+  i32 c3 = M.table3[h3];
+  M.table3[h3] = (i32)cur;
+  if (c3 >= 0 && (size_t)c3 < cur && cur - c3 <= 1024 &&
+      ((read32(base + c3) ^ read32(ip)) & 0xFFFFFF) == 0) {
+    u32 l = match_len(ip, base + c3, mlimit);
+    if (l >= 3) out[n++] = {l, (u32)(cur - c3)};
   }
-  u32 h = Matcher::hash6(ip);
   i32 cand = M.table[h];
   if (!M.chain.empty() && (size_t)M.chain.size() > cur) M.chain[cur] = cand;
   M.table[h] = (i32)cur;
-  u32 best_near = 0;
+  u32 best_near = n ? out[0].len : 0;
   for (int t = 0; t <= depth && cand >= 0 && n < 14; t++) {
     if ((size_t)cand >= cur) {  // re-visit (multi-pass): skip self/future
       cand = M.chain.empty() ? -1 : M.chain[cand];
@@ -1829,14 +1946,39 @@ static int gather_cands(const u8* base, const u8* ip, const u8* mlimit,
     }
     cand = M.chain.empty() ? -1 : M.chain[cand];
   }
-  u32 h2 = Matcher::hash16(ip);
   i32 c2 = M.table2[h2];
   M.table2[h2] = (i32)cur;
   if (c2 >= 0 && (size_t)c2 < cur && read32(base + c2) == read32(ip)) {
     u32 l = match_len(ip, base + c2, mlimit);
-    if (l >= 4 && (n == 0 || l > out[n - 1].len)) out[n++] = {l, (u32)(cur - c2)};
+    if (l >= 4 && l > best_near) out[n++] = {l, (u32)(cur - c2)};
   }
   return n;
+}
+
+// Repeat-offset triple update, mirroring the sequence writer exactly
+// (which itself mirrors RFC 8878's decoder-side rules).
+static inline void rep_transition(const u32 R[3], u32 O, u32 ll, u32 out[3]) {
+  if (ll) {
+    if (O == R[0]) { out[0] = R[0]; out[1] = R[1]; out[2] = R[2]; return; }
+    if (O == R[1]) { out[0] = O; out[1] = R[0]; out[2] = R[2]; return; }
+    out[0] = O; out[1] = R[0]; out[2] = R[1]; return;
+  }
+  if (O == R[1]) { out[0] = O; out[1] = R[0]; out[2] = R[2]; return; }
+  out[0] = O; out[1] = R[0]; out[2] = R[1];
+}
+
+// Offset-code price of O given pending literal run ll and rep triple R:
+// repcodes ride OF codes 0/1; everything else pays its offset bits.
+static inline u32 off_price_of(u32 O, u32 ll, const u32 R[3],
+                               const u16 of_price[32]) {
+  if (ll) {
+    if (O == R[0]) return of_price[0];
+    if (O == R[1] || O == R[2]) return of_price[1];
+  } else {
+    if (O == R[1]) return of_price[0];
+    if (O == R[2] || O + 1 == R[0]) return of_price[1];
+  }
+  return of_price[highbit(O + 3)];
 }
 
 // Parse one block optimally; appends to seqs/lits like parse_block.
@@ -1855,159 +1997,212 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
   for (size_t i = 0; i < n; i++) hist[bp[i]]++;
   u16 lit_price[256];
   double logn = log2((double)n);
+  // At the deepest level, bias pass-0 literal prices upward: the refine
+  // loop is a fixed-point iteration and the match-heavy basin (fewer
+  // literals -> cheaper literal section AND denser ll=0 codes) is the
+  // better optimum on most data; unbiased seeds converge literal-heavy.
+  double lit_bias = 2.0;
   for (int b = 0; b < 256; b++) {
-    double bits = hist[b] ? (logn - log2((double)hist[b])) : 12.0;
+    double bits = hist[b] ? (logn - log2((double)hist[b])) + lit_bias : 12.0;
     if (bits < 1.0) bits = 1.0;
     if (bits > 14.0) bits = 14.0;
     lit_price[b] = (u16)(bits * 16);
   }
-  u32 SEQ_OVERHEAD = 13 * 16;  // ll+ml+of state/code bits per sequence
-  // Second pass refines prices from the first parse's code statistics.
+  u32 SEQ_OVERHEAD = 2 * 16;  // per-sequence state-update slack
+  u16 ll_price[36];
   u16 ml_price[53];
   u16 of_price[32];
-  for (int k = 0; k < 53; k++) ml_price[k] = (u16)((ML_BITS[k] + 5) * 16);
+  for (int k = 0; k < 36; k++) ll_price[k] = (u16)((LL_BITS[k] + 4) * 16);
+  for (int k = 0; k < 53; k++) ml_price[k] = (u16)((ML_BITS[k] + 4) * 16);
   for (int k = 0; k < 32; k++) of_price[k] = (u16)((k + 4) * 16);
 
   const u64 INF = ~0ULL;
   static thread_local std::vector<u64> price;
   static thread_local std::vector<u32> from_len, from_off;
-  // rep1 along the best path reaching each position: lets the DP price
-  // repeat-offset matches at their true (near-free) cost.
-  static thread_local std::vector<u32> rep_at;
-  // Pass-1 candidates are recorded and replayed in pass 2 (the hash
-  // tables cannot be re-walked once fully populated).
+  // Full rep triple + pending literal-run length along the best path.
+  static thread_local std::vector<u32> rep0, rep1v, rep2v;
+  static thread_local std::vector<u16> llrun;
+  // Pass-1 table candidates are recorded and replayed in later passes (the
+  // hash tables cannot be re-walked once fully populated). Rep candidates
+  // are path-dependent so they are re-probed fresh every pass.
   static thread_local std::vector<OptCand> cand_store;
   static thread_local std::vector<u16> cand_cnt;
   cand_store.clear();
   cand_cnt.assign(n, 0);
   static thread_local std::vector<u32> cand_off_idx;
   cand_off_idx.assign(n, 0);
+  static thread_local std::vector<u32> bt_len, bt_off;
 
-  for (int pass = 0; pass < 2; pass++) {
-  price.assign(n + 1, INF);
-  from_len.assign(n + 1, 0);
-  from_off.assign(n + 1, 0);
-  rep_at.assign(n + 1, reps[0]);
-  price[0] = 0;
-
-  const u8* mlimit = bp + n;
-  const u8* search_end = n > 8 ? mlimit - 8 : bp;
-  OptCand cands[16];
+  const int passes = depth >= 128 ? 6 : (depth >= 64 ? 3 : 2);
   size_t skip_gather_until = 0;
-  for (size_t i = 0; i < n; i++) {
-    u64 p = price[i];
-    u32 rep_here = rep_at[i];
-    // literal step (keeps every position reachable)
-    u64 lp = p + lit_price[bp[i]];
-    if (lp < price[i + 1]) {
-      price[i + 1] = lp;
-      from_len[i + 1] = 0;
-      rep_at[i + 1] = rep_here;
-    }
-    if (bp + i >= search_end) continue;
-    if (pass == 0 && i < skip_gather_until && (i & 15)) {
-      // Interior of a long match: insert-only at 15 of 16 positions, but
-      // keep probing on a stride so the DP's landing points still find
-      // continuation candidates.
-      gather_cands(base, bp + i, mlimit, M, reps[0], depth, cands, false);
-      continue;
-    }
-    int nc;
-    if (pass == 0) {
-      nc = gather_cands(base, bp + i, mlimit, M, rep_here, depth, cands);
-      cand_off_idx[i] = (u32)cand_store.size();
-      cand_cnt[i] = (u16)nc;
-      for (int c = 0; c < nc; c++) cand_store.push_back(cands[c]);
-      for (int c = 0; c < nc; c++)
-        if (cands[c].len >= 1024 && i + cands[c].len - 64 > skip_gather_until)
-          skip_gather_until = i + cands[c].len - 64;
-    } else {
-      nc = cand_cnt[i];
-      for (int c = 0; c < nc; c++) cands[c] = cand_store[cand_off_idx[i] + c];
-    }
-    for (int c = 0; c < nc; c++) {
-      u32 L = cands[c].len, O = cands[c].off;
-      u32 oprice = (O == rep_here) ? 2 * 16 : of_price[highbit(O + 3)];
-      auto relax = [&](u32 l) {
-        u32 mlc = ml_code(l);
-        u64 mp = p + SEQ_OVERHEAD + oprice + ml_price[mlc];
-        if (mp < price[i + l]) {
-          price[i + l] = mp;
-          from_len[i + l] = l;
-          from_off[i + l] = O;
-          rep_at[i + l] = O;
+  for (int pass = 0; pass < passes; pass++) {
+    price.assign(n + 1, INF);
+    from_len.assign(n + 1, 0);
+    from_off.assign(n + 1, 0);
+    rep0.assign(n + 1, reps[0]);
+    rep1v.assign(n + 1, reps[1]);
+    rep2v.assign(n + 1, reps[2]);
+    llrun.assign(n + 1, 0);
+    price[0] = 0;
+
+    const u8* mlimit = bp + n;
+    const u8* search_end = n > 8 ? mlimit - 8 : bp;
+    OptCand cands[24];
+    for (size_t i = 0; i < n; i++) {
+      u64 p = price[i];
+      u32 R[3] = {rep0[i], rep1v[i], rep2v[i]};
+      u32 llv = llrun[i];
+      // literal step (keeps every position reachable)
+      u64 lp = p + lit_price[bp[i]];
+      if (lp < price[i + 1]) {
+        price[i + 1] = lp;
+        from_len[i + 1] = 0;
+        rep0[i + 1] = R[0]; rep1v[i + 1] = R[1]; rep2v[i + 1] = R[2];
+        llrun[i + 1] = (u16)(llv < 60000 ? llv + 1 : llv);
+      }
+      if (bp + i >= search_end) continue;
+      size_t cur_g = (size_t)(bp + i - base);
+      const u8* ip = bp + i;
+      const u8* scan_lim = (mlimit - ip > 4096) ? ip + 4096 : mlimit;
+      // Rep probes: every position, every pass (cheap, path-dependent).
+      int nc = 0;
+      for (int j = 0; j < 3; j++) {
+        u32 r = R[j];
+        if (!r || r > cur_g) continue;
+        if (j && (r == R[0] || (j == 2 && r == R[1]))) continue;
+        if (((read32(ip) ^ read32(ip - r)) & 0xFFFFFF) != 0) continue;
+        u32 l = match_len(ip, ip - r, scan_lim);
+        if (l >= 3) cands[nc++] = {l, r};
+      }
+      bool skipping = i < skip_gather_until && (i & 15);
+      if (pass == 0) {
+        if (skipping) {
+          gather_cands(base, ip, mlimit, M, depth, cands + nc, false);
+        } else {
+          int tn = gather_cands(base, ip, mlimit, M, depth, cands + nc);
+          cand_off_idx[i] = (u32)cand_store.size();
+          cand_cnt[i] = (u16)tn;
+          for (int c = 0; c < tn; c++) cand_store.push_back(cands[nc + c]);
+          for (int c = 0; c < tn; c++)
+            if (cands[nc + c].len >= 1024 &&
+                i + cands[nc + c].len - 64 > skip_gather_until)
+              skip_gather_until = i + cands[nc + c].len - 64;
+          nc += tn;
         }
-      };
-      // Dense lengths up to 64; beyond that only ml-code boundaries and L
-      // itself matter (price is constant within a code bucket).
-      u32 dense = L < 64 ? L : 64;
-      for (u32 l = 4; l <= dense; l++) relax(l);
-      if (L > 64) {
-        for (int mc = 0; mc < 53; mc++) {
-          u32 b = ML_BASE[mc];
-          if (b > 64 && b <= L) relax(b);
+      } else {
+        int tn = cand_cnt[i];
+        for (int c = 0; c < tn; c++) cands[nc + c] = cand_store[cand_off_idx[i] + c];
+        nc += tn;
+      }
+      u32 llc_cost = ll_price[ll_code(llv)];
+      for (int c = 0; c < nc; c++) {
+        u32 L = cands[c].len, O = cands[c].off;
+        u32 oprice = off_price_of(O, llv, R, of_price);
+        u64 base_p = p + SEQ_OVERHEAD + llc_cost + oprice;
+        u32 NR[3];
+        rep_transition(R, O, llv, NR);
+        auto relax = [&](u32 l) {
+          u64 mp = base_p + ml_price[ml_code(l)];
+          if (mp < price[i + l]) {
+            price[i + l] = mp;
+            from_len[i + l] = l;
+            from_off[i + l] = O;
+            rep0[i + l] = NR[0]; rep1v[i + l] = NR[1]; rep2v[i + l] = NR[2];
+            llrun[i + l] = 0;
+          }
+        };
+        // Dense lengths up to 64; beyond that only ml-code boundaries and L
+        // itself matter (price is constant within a code bucket).
+        u32 dense = L < 64 ? L : 64;
+        for (u32 l = 3; l <= dense; l++) relax(l);
+        if (L > 64) {
+          for (int mc = 0; mc < 53; mc++) {
+            u32 b = ML_BASE[mc];
+            if (b > 64 && b <= L) relax(b);
+          }
+          relax(L);
         }
-        relax(L);
       }
     }
-  }
 
-  // Refine prices from this pass's parse statistics, then re-run once.
-  if (pass == 0) {
-    u32 mh[53] = {0}, oh[32] = {0}, lh[256] = {0};
-    u32 nseq = 0, nlit = 0;
+    // Backtrack this pass's best path.
+    bt_len.clear(); bt_off.clear();
     size_t at = n;
     while (at > 0) {
       u32 fl = from_len[at];
-      if (fl) {
-        mh[ml_code(fl)]++;
-        oh[highbit(from_off[at] + 3)]++;
+      bt_len.push_back(fl ? fl : 1);
+      bt_off.push_back(fl ? from_off[at] : 0);
+      at -= fl ? fl : 1;
+    }
+
+    if (pass + 1 < passes) {
+      // Refine prices from this parse's actual code statistics: forward
+      // replay with the real rep rules so OF codes histogram truthfully.
+      u32 mh[53] = {0}, oh[32] = {0}, lh[256] = {0}, llh[36] = {0};
+      u32 nseq = 0, nlit = 0;
+      u32 RR[3] = {reps[0], reps[1], reps[2]};
+      size_t cursor = 0, anchor = 0;
+      for (size_t k = bt_len.size(); k-- > 0;) {
+        u32 l = bt_len[k], o = bt_off[k];
+        if (o == 0) { cursor += l; continue; }
+        u32 ll = (u32)(cursor - anchor);
+        for (size_t q = anchor; q < cursor; q++) lh[bp[q]]++;
+        nlit += ll;
+        u32 ov;
+        if (ll != 0) {
+          if (o == RR[0]) ov = 1;
+          else if (o == RR[1]) { ov = 2; RR[1] = RR[0]; RR[0] = o; }
+          else if (o == RR[2]) { ov = 3; RR[2] = RR[1]; RR[1] = RR[0]; RR[0] = o; }
+          else { ov = o + 3; RR[2] = RR[1]; RR[1] = RR[0]; RR[0] = o; }
+        } else {
+          if (o == RR[1]) { ov = 1; RR[1] = RR[0]; RR[0] = o; }
+          else if (o == RR[2]) { ov = 2; RR[2] = RR[1]; RR[1] = RR[0]; RR[0] = o; }
+          else if (o + 1 == RR[0] && o != 0) { ov = 3; RR[2] = RR[1]; RR[1] = RR[0]; RR[0] = o; }
+          else { ov = o + 3; RR[2] = RR[1]; RR[1] = RR[0]; RR[0] = o; }
+        }
+        llh[ll_code(ll)]++;
+        mh[ml_code(l)]++;
+        oh[highbit(ov)]++;
         nseq++;
-        at -= fl;
-      } else {
-        lh[bp[at - 1]]++;
-        nlit++;
-        at -= 1;
+        cursor += l;
+        anchor = cursor;
       }
-    }
-    if (nseq < 16) break;  // nothing to refine
-    double ls = log2((double)(nseq + 32));
-    for (int k = 0; k < 53; k++) {
-      double bits = mh[k] ? ls - log2((double)mh[k]) : ls;
-      ml_price[k] = (u16)((bits + ML_BITS[k]) * 16);
-    }
-    for (int k = 0; k < 32; k++) {
-      double bits = oh[k] ? ls - log2((double)oh[k]) : ls;
-      of_price[k] = (u16)((bits + k) * 16);
-    }
-    if (nlit > 64) {
-      double ln2 = log2((double)nlit);
-      for (int b = 0; b < 256; b++) {
-        double bits = lh[b] ? (ln2 - log2((double)lh[b])) : 13.0;
-        if (bits < 1.0) bits = 1.0;
-        if (bits > 14.0) bits = 14.0;
-        lit_price[b] = (u16)(bits * 16);
+      for (size_t q = anchor; q < n; q++) lh[bp[q]]++;
+      nlit += (u32)(n - anchor);
+      if (nseq < 16) break;  // nothing to refine
+      double ls = log2((double)(nseq + 16));
+      for (int k = 0; k < 53; k++) {
+        double bits = mh[k] ? ls - log2((double)mh[k]) : ls;
+        ml_price[k] = (u16)((bits + ML_BITS[k]) * 16);
       }
+      for (int k = 0; k < 32; k++) {
+        double bits = oh[k] ? ls - log2((double)oh[k]) : ls;
+        of_price[k] = (u16)((bits + k) * 16);
+      }
+      for (int k = 0; k < 36; k++) {
+        double bits = llh[k] ? ls - log2((double)llh[k]) : ls;
+        ll_price[k] = (u16)((bits + LL_BITS[k]) * 16);
+      }
+      if (nlit > 64) {
+        double ln2 = log2((double)nlit);
+        // Amortize the literals-section fixed cost (Huffman tree
+        // description + headers, ~70 bytes/block) over the literal count:
+        // sparse literal sets pay real per-byte overhead the entropy
+        // estimate alone misses.
+        double amort = 8.0 * 70.0 / (double)nlit;
+        if (amort > 4.0) amort = 4.0;
+        for (int b = 0; b < 256; b++) {
+          double bits = lh[b] ? (ln2 - log2((double)lh[b])) + amort : 13.0;
+          if (bits < 1.0) bits = 1.0;
+          if (bits > 14.0) bits = 14.0;
+          lit_price[b] = (u16)(bits * 16);
+        }
+      }
+      SEQ_OVERHEAD = 1 * 16;
     }
-    // ll-code + per-seq constant: fold into overhead (ll mostly tiny codes)
-    SEQ_OVERHEAD = (u32)((log2((double)(nseq + 32)) * 0 + 7) * 16);
-    // Re-run requires fresh match tables? No: tables only grow; the second
-    // pass re-inserts the same positions (idempotent for heads/chains built
-    // in order, acceptable approximation).
-  }
   }  // passes
 
-  // Backtrack into (pos, len, off) triples.
-  static thread_local std::vector<u32> bt_len, bt_off;
-  bt_len.clear(); bt_off.clear();
-  size_t at = n;
-  while (at > 0) {
-    u32 fl = from_len[at];
-    bt_len.push_back(fl ? fl : 1);
-    bt_off.push_back(fl ? from_off[at] : 0);
-    at -= fl ? fl : 1;
-  }
-  // Emit forward.
+  // Emit the final pass's path forward as (ll, ml, ov) + literals.
   const u8* anchor = bp;
   size_t cursor = 0;
   for (size_t k = bt_len.size(); k-- > 0;) {
@@ -2029,6 +2224,14 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
       else { ov = o + 3; reps[2] = r2; reps[1] = r1; reps[0] = o; }
     }
     seqs.push_back({ll, l, ov});
+#ifdef ZN_DEBUG_VERIFY
+    {
+      const u8* mstart = bp + cursor;
+      if ((size_t)(mstart - base) < o || memcmp(mstart, mstart - o, l > o ? o : l) != 0)
+        fprintf(stderr, "BAD EMIT pos=%zu ll=%u ml=%u off=%u\n",
+                (size_t)(mstart - bp), ll, l, o);
+    }
+#endif
     cursor += l;
     anchor = bp + cursor;
   }
