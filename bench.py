@@ -195,7 +195,7 @@ def main() -> int:
     n = len(corpus)
     log(f"corpus: {n} bytes ({time.time()-t0:.1f}s)")
 
-    frame_size = 2 << 20
+    frame_size = 1 << 20
     ref = bench_samehost_libzstd(corpus)
     if ref:
         log(f"same-host libzstd L1: {ref[0]:.1f} MiB/s ratio {ref[1]*100:.1f}%")
@@ -207,8 +207,8 @@ def main() -> int:
         )
         _result.update(
             metric=(
-                "seekable archive encode MiB/s, 10MiB dickens-like text, "
-                f"2MiB frames, ratio {native[2]*100:.1f}% "
+                f"seekable archive encode MiB/s, {n >> 20}MiB dickens-like text, "
+                f"{frame_size >> 20}MiB frames, ratio {native[2]*100:.1f}% "
                 f"(native enc {native[0]:.0f}/dec {native[1]:.0f}; tpu pending)"
             ),
             value=round(native[0], 2),
@@ -292,8 +292,8 @@ def main() -> int:
         jax.profiler.stop_trace()
     _result.update(
         metric=(
-            "seekable archive encode MiB/s, 10MiB dickens-like text, "
-            f"2MiB frames, ratio {ratio*100:.1f}% ({'; '.join(detail)})"
+            f"seekable archive encode MiB/s, {n >> 20}MiB dickens-like text, "
+            f"{frame_size >> 20}MiB frames, ratio {ratio*100:.1f}% ({'; '.join(detail)})"
         ),
         value=round(best_enc, 2),
         vs_baseline=round(best_enc / BASELINE_ENCODE_MIBS, 4),
