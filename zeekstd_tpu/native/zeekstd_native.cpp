@@ -197,6 +197,8 @@ struct FseDecTable {
   u8 symbol[512];
   u8 nbits[512];
   u16 baseline[512];
+  // Hot-loop form: symbol | nbits<<8 | baseline<<16 in one load.
+  u32 packed[512];
 };
 
 struct FseEncTable {
@@ -233,6 +235,7 @@ static bool fse_build_dec(const i16* norm, int nsym, int log, FseDecTable* t) {
     int bits = log - highbit((u32)next);
     t->nbits[u] = (u8)bits;
     t->baseline[u] = (u16)((next << bits) - size);
+    t->packed[u] = (u32)s | ((u32)bits << 8) | ((u32)t->baseline[u] << 16);
   }
   return true;
 }
@@ -1369,6 +1372,7 @@ static ptrdiff_t read_symbol_table(const u8* p, size_t len, int mode,
     slot->symbol[0] = (u8)sym;
     slot->nbits[0] = 0;
     slot->baseline[0] = 0;
+    slot->packed[0] = (u32)sym;
     *have = true;
     *out = slot;
     return 1;
@@ -1428,15 +1432,29 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
     pos += fcs_bytes;
   }
 
-  // Window buffer: prefix + output (prefix enables patch apply).
-  // 32-byte slack allows branch-free 8/16-byte wild copies.
+  // Output placement: when there is no prefix and the content size is
+  // declared and fits the caller's buffer, decode IN PLACE into dst --
+  // wild copies switch to an exact tail path near the end. Otherwise use
+  // a scratch window (prefix support / unknown size) and copy out at the
+  // end. In-place saves two full passes over the output (zeroing +
+  // copy-out), the decoder's main bandwidth overhead vs. libzstd.
   u64 est = content_size != (u64)-1 ? content_size : (u64)n * 16 + (1u << 20);
+  bool in_place = prefix_n == 0 && content_size != (u64)-1 && content_size <= cap;
   std::vector<u8> win;
-  win.resize(prefix_n + est + 64);
-  if (prefix_n) memcpy(win.data(), prefix, prefix_n);
-  u8* wp = win.data() + prefix_n;          // write head
-  u8* wlimit = win.data() + win.size() - 64;
-  const u8* wbase = win.data();
+  u8* wp;
+  u8* wlimit;   // exact end of writable output
+  const u8* wbase;
+  if (in_place) {
+    wp = dst;
+    wlimit = dst + content_size;
+    wbase = dst;
+  } else {
+    win.resize(prefix_n + est + 64);
+    if (prefix_n) memcpy(win.data(), prefix, prefix_n);
+    wp = win.data() + prefix_n;          // write head
+    wlimit = win.data() + win.size() - 64;
+    wbase = win.data();
+  }
 
   DecCtx ctx;
   u32 reps[3] = {1, 4, 8};
@@ -1619,7 +1637,7 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
           if (!dec_stream(payload, prem, lits.data(), regen)) return -1;
         }
       }
-      lits.resize(lit_n + 8);  // slack for 8-byte wild literal copies
+      lits.resize(lit_n + 16);  // slack for 16-byte wild literal copies
       // sequences
       if (!lrem) return -1;
       size_t nseq;
@@ -1657,16 +1675,18 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
         if (br.rem < 0) return -1;
         size_t lit_pos = 0;
         for (size_t i = 0; i < nseq; i++) {
-          int of_code = oft->symbol[of_s];
-          int ml_code = mlt->symbol[ml_s];
-          int ll_code = llt->symbol[ll_s];
+          u32 ofe = oft->packed[of_s];
+          u32 mle = mlt->packed[ml_s];
+          u32 lle = llt->packed[ll_s];
+          int of_code = ofe & 0xFF;
+          int ml_code = mle & 0xFF;
+          int ll_code = lle & 0xFF;
           if (of_code > 31 || ml_code > 52 || ll_code > 35) return -1;
           int mlb = ML_BITS[ml_code], llb = LL_BITS[ll_code];
           u64 extras = br.read_wide(of_code + mlb + llb);
           u32 ofv = (1u << of_code) + (u32)(extras >> (mlb + llb));
           u32 mlv = ML_BASE[ml_code] + (u32)((extras >> llb) & ((1u << mlb) - 1));
           u32 llv = LL_BASE[ll_code] + (u32)(extras & ((1u << llb) - 1));
-          if (br.rem < 0) return -1;
           u32 off;
           if (ofv > 3) {
             off = ofv - 3;
@@ -1683,20 +1703,28 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
             }
           }
           if (i + 1 < nseq) {
-            int lb = llt->nbits[ll_s], mb2 = mlt->nbits[ml_s], ob = oft->nbits[of_s];
+            int lb = (lle >> 8) & 0xFF, mb2 = (mle >> 8) & 0xFF, ob = (ofe >> 8) & 0xFF;
             u64 upd = br.read_wide(lb + mb2 + ob);
-            ll_s = llt->baseline[ll_s] + (int)(upd >> (mb2 + ob));
-            ml_s = mlt->baseline[ml_s] + (int)((upd >> ob) & ((1u << mb2) - 1));
-            of_s = oft->baseline[of_s] + (int)(upd & ((1u << ob) - 1));
-            if (br.rem < 0) return -1;
+            ll_s = (int)(lle >> 16) + (int)(upd >> (mb2 + ob));
+            ml_s = (int)(mle >> 16) + (int)((upd >> ob) & ((1u << mb2) - 1));
+            of_s = (int)(ofe >> 16) + (int)(upd & ((1u << ob) - 1));
           }
-          // execute (wild 8-byte copies into the slack region)
+          // execute: wild 8-byte copies while >=32 bytes from the output
+          // end, exact copies for the final stretch (in-place mode has no
+          // slack past wlimit).
           if (lit_pos + llv > lit_n) return -1;
           if (wp + llv + mlv > wlimit) return -1;
+          bool wild = wp + llv + mlv + 32 <= wlimit;
           {
             const u8* q = lits.data() + lit_pos;
             u8* o = wp;
-            for (size_t k = 0; k < llv; k += 8) memcpy(o + k, q + k, 8);
+            if (wild) {
+              // llv is usually tiny: one 16-byte store covers it.
+              memcpy(o, q, 16);
+              for (size_t k = 16; k < llv; k += 16) memcpy(o + k, q + k, 16);
+            } else {
+              memcpy(o, q, llv);
+            }
             wp += llv;
             lit_pos += llv;
           }
@@ -1705,7 +1733,10 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
             const u8* q = wp - off;
             u8* o = wp;
             wp += mlv;
-            if (off >= 8) {
+            if (wild && off >= 16) {
+              memcpy(o, q, 16);
+              for (u32 k = 16; k < mlv; k += 16) memcpy(o + k, q + k, 16);
+            } else if (wild && off >= 8) {
               for (u32 k = 0; k < mlv; k += 8) memcpy(o + k, q + k, 8);
             } else {
               for (u32 k = 0; k < mlv; k++) o[k] = q[k];
@@ -1723,17 +1754,18 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
     }
     if (last) break;
   }
-  size_t out_n = (size_t)(wp - (win.data() + prefix_n));
+  const u8* out_start = in_place ? dst : win.data() + prefix_n;
+  size_t out_n = (size_t)(wp - out_start);
   if (has_checksum) {
     if (pos + 4 > n) return -1;
     u32 stored = read32(src + pos);
     pos += 4;
-    u32 calc = (u32)zn_xxh64(win.data() + prefix_n, out_n, 0);
+    u32 calc = (u32)zn_xxh64(out_start, out_n, 0);
     if (stored != calc) return -2;
   }
   if (content_size != (u64)-1 && out_n != content_size) return -1;
   if (out_n > cap) return -1;
-  memcpy(dst, win.data() + prefix_n, out_n);
+  if (!in_place) memcpy(dst, out_start, out_n);
   *consumed = pos;
   return (i64)out_n;
 }
