@@ -82,3 +82,51 @@ def test_batched_archive_encoder():
     assert zstd_decompress(blob) == data
     dec = DecodeOptions(BytesWrapper(blob + st.to_bytes())).into_decoder()
     assert dec.read(-1) == data
+
+
+def test_tpu_archive_decode_roundtrip():
+    # Batched archive decode vs both encoders, multi-frame, with RLE/raw
+    # block shapes mixed in.
+    import random
+
+    from zeekstd_tpu.native.loader import compress_stream_mt
+    from zeekstd_tpu.seek_table import SeekTable
+    from zeekstd_tpu.tpu_archive import tpu_compress_archive, tpu_decompress_archive
+
+    rng = random.Random(3)
+    base = b"seekable zstandard frames decode independently " * 800
+    data = (
+        base[:30000]
+        + bytes(rng.randrange(256) for _ in range(8000))
+        + b"\x00" * 5000
+        + base[:20000]
+    )
+    blob, st = tpu_compress_archive(data, frame_size=1 << 15)
+    assert tpu_decompress_archive(blob, st) == data
+
+    blob2, sizes = compress_stream_mt(data, 1 << 15, checksum=True, nthreads=2, level=3)
+    st2 = SeekTable()
+    for i, c in enumerate(sizes):
+        st2.log_frame(c, min(1 << 15, len(data) - i * (1 << 15)))
+    assert tpu_decompress_archive(blob2, st2) == data
+    # Walking mode skips the appended seek-table skippable frame.
+    assert tpu_decompress_archive(blob2 + st2.to_bytes()) == data
+
+
+def test_tpu_archive_decode_checksum_error():
+    import pytest as _pytest
+
+    from zeekstd_tpu.errors import ZeekstdError
+    from zeekstd_tpu.native.loader import compress_stream_mt
+    from zeekstd_tpu.seek_table import SeekTable
+    from zeekstd_tpu.tpu_archive import tpu_decompress_archive
+
+    data = b"checksum guarded content " * 2000
+    blob, sizes = compress_stream_mt(data, 1 << 14, checksum=True, nthreads=1, level=1)
+    st = SeekTable()
+    for i, c in enumerate(sizes):
+        st.log_frame(c, min(1 << 14, len(data) - i * (1 << 14)))
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0x10
+    with _pytest.raises(ZeekstdError):
+        tpu_decompress_archive(bytes(bad), st)

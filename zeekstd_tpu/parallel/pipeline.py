@@ -151,19 +151,12 @@ def parallel_compress(
 
 
 def parallel_decompress(archive: bytes, seek_table: SeekTable, mesh=None):
-    """Data-parallel frame decode: each frame decoded independently (the
-    TPU decode path), results concatenated in order."""
-    from ..tpu_codec import tpu_decompress_frame
+    """Data-parallel frame decode: all frames' entropy streams and sequence
+    executions batch into three device dispatches (tpu_archive's batched
+    decoder); frame independence is what makes the batch dimension free."""
+    from ..tpu_archive import tpu_decompress_archive
 
-    out = []
-    for i in range(seek_table.num_frames):
-        start = seek_table.frame_start_comp(i)
-        end = seek_table.frame_end_comp(i)
-        if seek_table.frame_size_decomp(i) == 0:
-            continue
-        chunk, _ = tpu_decompress_frame(archive[start:end])
-        out.append(chunk)
-    return b"".join(out)
+    return tpu_decompress_archive(archive, seek_table)
 
 
 def route_queries(seek_table: SeekTable, queries, mesh=None):

@@ -480,3 +480,129 @@ def _assemble_body(d, raw_block, fse_words, fse_bits, huf_words, huf_bits, words
         return None  # slice clamp out of range (overflow guard)
     sec += words_to_stream(fse_words[j], int(fse_bits[j]))
     return lit_sec + bytes(sec)
+
+
+def tpu_decompress_archive(blob: bytes, seek_table=None, verify_checksum: bool = True) -> bytes:
+    """Batched device decode of a whole seekable archive — the decode twin
+    of ``tpu_compress_archive``.
+
+    All frames' Huffman literal streams decode in ONE vmapped dispatch, all
+    blocks' FSE sequence streams in a second, and every frame's sequence
+    execution in a third (``ops.seq_exec.execute_sequences_batch``); the
+    host only parses headers/tables and stitches results. With a
+    ``seek_table`` the frame boundaries come from it (reference analog:
+    decompress through the seek table, lib/src/decode.rs); without one the
+    frames are walked sequentially, skipping skippable frames.
+    """
+    jax, jnp = _jx()
+    from .tpu_codec import (
+        _plan_frame,
+        _huf_batch,
+        _fse_batch,
+        _fix_rep_carry,
+        _frame_triples,
+    )
+    from .ops.seq_exec import execute_sequences_batch
+    from .xxhash64 import XXH64
+    from .errors import checksum_wrong, corruption_detected
+
+    # --- host: plan every frame ------------------------------------------
+    plans = []  # (hdr, plan, checksum_pos)
+    if seek_table is not None:
+        for i in range(seek_table.num_frames):
+            start = seek_table.frame_start_comp(i)
+            if seek_table.frame_size_decomp(i) == 0 and seek_table.frame_end_comp(i) == start:
+                continue
+            plans.append(_plan_frame(blob, start))
+    else:
+        pos = 0
+        while pos < len(blob):
+            magic = int.from_bytes(blob[pos : pos + 4], "little")
+            if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable (incl. seek table)
+                size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+                pos += 8 + size
+                continue
+            hdr, plan, fpos = _plan_frame(blob, pos)
+            plans.append((hdr, plan, fpos))
+            pos = fpos + (4 if hdr.has_checksum else 0)
+
+    # --- device dispatch 1: all Huffman streams ---------------------------
+    stream_list = []
+    frame_stream_base = []
+    for _, plan, _ in plans:
+        frame_stream_base.append(len(stream_list))
+        for kind, *args in plan:
+            if kind == "cmp" and "streams" in args[0]:
+                stream_list.extend(args[0]["streams"])
+    decoded_streams = _huf_batch(stream_list)
+
+    # --- device dispatch 2: all FSE sequence streams ----------------------
+    seq_blocks = []
+    frame_rows = []  # per frame: list of batch-row indices
+    for _, plan, _ in plans:
+        rows = []
+        for kind, *args in plan:
+            if kind == "cmp" and args[0].get("nseq", 0) > 0:
+                rows.append(len(seq_blocks))
+                seq_blocks.append(args[0])
+        frame_rows.append(rows)
+    if seq_blocks:
+        lls_b, mls_b, offs_b, ofvs_b = _fse_batch(seq_blocks)
+    # Cross-block repeat-offset carry is per frame.
+    seq_lookup = {}
+    for rows in frame_rows:
+        if not rows:
+            continue
+        frame_blocks = [seq_blocks[r] for r in rows]
+        _fix_rep_carry(frame_blocks, rows, lls_b, ofvs_b, offs_b)
+        for r in rows:
+            seq_lookup[id(seq_blocks[r])] = (lls_b[r], mls_b[r], offs_b[r])
+
+    # --- assemble per-frame triples ---------------------------------------
+    triples = []
+    totals = []
+    for fi, (hdr, plan, _) in enumerate(plans):
+        lls, mls, offs, literals, _ = _frame_triples(
+            plan, decoded_streams, frame_stream_base[fi], seq_lookup
+        )
+        triples.append((lls, mls, offs, literals))
+        totals.append(int(lls.sum() + mls.sum()))
+
+    if not plans:
+        return b""
+
+    # --- device dispatch 3: vmapped sequence execution --------------------
+    F = len(plans)
+    S = max(max(len(t[0]) for t in triples), 1)
+    L = max(max(len(t[3]) for t in triples), 1)
+    out_bound = max(max(totals), 1)
+    lls_p = np.zeros((F, S), np.int32)
+    mls_p = np.zeros((F, S), np.int32)
+    offs_p = np.ones((F, S), np.int32)
+    lits_p = np.zeros((F, L), np.uint8)
+    for i, (lls, mls, offs, literals) in enumerate(triples):
+        lls_p[i, : len(lls)] = lls
+        mls_p[i, : len(mls)] = mls
+        offs_p[i, : len(offs)] = offs
+        lits_p[i, : len(literals)] = literals
+    out = np.asarray(
+        execute_sequences_batch(
+            jnp.asarray(lits_p), jnp.asarray(lls_p), jnp.asarray(mls_p),
+            jnp.asarray(offs_p), out_bound,
+        )
+    )
+
+    # --- verify + join -----------------------------------------------------
+    parts = []
+    for i, (hdr, plan, cpos) in enumerate(plans):
+        result = bytes(out[i, : totals[i]])
+        if hdr.content_size is not None and len(result) != hdr.content_size:
+            raise corruption_detected("frame content size mismatch")
+        if hdr.has_checksum and verify_checksum:
+            stored = int.from_bytes(blob[cpos : cpos + 4], "little")
+            h = XXH64(0)
+            h.update(result)
+            if (h.digest() & 0xFFFF_FFFF) != stored:
+                raise checksum_wrong("content checksum mismatch")
+        parts.append(result)
+    return b"".join(parts)

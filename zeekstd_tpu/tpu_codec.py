@@ -431,19 +431,17 @@ def _words_from_bytes(payload: bytes, word_bound: int):
     return arr, start_bits
 
 
-def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = True):
-    """Decode one zstd frame with the device kernels (host parses headers
-    and entropy tables; Huffman/FSE symbol loops and sequence execution run
-    on device). Returns (bytes, end_pos)."""
-    jax, jnp = _lazy_jax()
-    from .errors import checksum_wrong, corruption_detected
-    from .ops.seq_exec import execute_sequences_tpu
-
+def _plan_frame(frame: bytes, pos: int = 0):
+    """Host side of one frame's decode: walk block/section headers and
+    entropy-table descriptions into a device-ready plan (no symbol loops).
+    Returns (hdr, plan, end_pos) with end_pos at the content checksum
+    position (if any). Plan entries: ("raw", bytes) | ("rle", byte, n) |
+    ("cmp", desc)."""
+    from .errors import corruption_detected
     hdr = frame_mod.parse_frame_header(frame[pos:])
     fpos = pos + hdr.header_size
 
     # --- host: walk blocks, parse headers + tables -----------------------
-    huf_streams = []  # (words, start_bits, sym2048, nb2048, max_bits, out_len)
     plan = []  # per block: ("raw", bytes) | ("rle", byte, n) | ("cmp", desc)
     prev_table = None
     _dec_state = {}  # per-frame repeat-mode FSE tables
@@ -518,12 +516,13 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
         if last:
             break
 
-    # --- device: Huffman streams -----------------------------------------
-    stream_list = []
-    for kind, *args in plan:
-        if kind == "cmp" and "streams" in args[0]:
-            stream_list.extend(args[0]["streams"])
+    return hdr, plan, fpos
 
+
+def _huf_batch(stream_list):
+    """One vmapped device dispatch decoding every Huffman literal stream
+    (any number of frames' worth). stream_list: [(bytes, out_len, table)]."""
+    jax, jnp = _lazy_jax()
     decoded_streams = []
     if stream_list:
         out_bound = 1 << max(max(olen for _, olen, _ in stream_list) - 1, 1).bit_length()
@@ -550,10 +549,15 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
         )
         decoded_streams = [bytes(out[i, : stream_list[i][1]]) for i in range(W)]
 
-    # --- device: FSE sequence streams ------------------------------------
-    cmp_blocks = [args[0] for kind, *args in plan if kind == "cmp"]
-    seq_blocks = [d for d in cmp_blocks if d.get("nseq", 0) > 0]
-    seq_results = {}
+    return decoded_streams
+
+
+def _fse_batch(seq_blocks):
+    """One vmapped device dispatch decoding every block's FSE sequence
+    stream. Returns numpy (lls, mls, offs, ofvs), each [B, seq_bound];
+    repeat offsets are resolved against a fresh history per block (the
+    caller fixes cross-block carry per frame)."""
+    jax, jnp = _lazy_jax()
     if seq_blocks:
         seq_bound = 1 << max((max(d["nseq"] for d in seq_blocks) - 1).bit_length(), 5)
         word_bound = 1 << max(
@@ -595,45 +599,49 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
         lls, mls, offs, ofvs = (
             np.asarray(lls), np.asarray(mls), np.array(offs), np.asarray(ofvs)
         )
-        # Repeat offsets carry across blocks within a frame. The vmapped
-        # decode resolved each block against a fresh history; when any block
-        # after the first actually used a repeat code, re-resolve the whole
-        # frame sequentially with the true carry.
-        any_rep_after_first = any(
-            (ofvs[i][: seq_blocks[i]["nseq"]] <= 3).any()
-            for i in range(1, len(seq_blocks))
-        )
-        if any_rep_after_first:
-            r1, r2, r3 = 1, 4, 8
-            for i, d in enumerate(seq_blocks):
-                n = d["nseq"]
-                for k in range(n):
-                    ofv = int(ofvs[i][k])
-                    ll = int(lls[i][k])
-                    if ofv > 3:
-                        off = ofv - 3
-                        r1, r2, r3 = off, r1, r2
-                    else:
-                        j = ofv + (1 if ll == 0 else 0)
-                        if j == 1:
-                            off = r1
-                        elif j == 2:
-                            off = r2
-                            r1, r2 = r2, r1
-                        elif j == 3:
-                            off = r3
-                            r1, r2, r3 = r3, r1, r2
-                        else:
-                            off = r1 - 1
-                            r1, r2, r3 = off, r1, r2
-                    offs[i][k] = off
-        for i, d in enumerate(seq_blocks):
-            seq_results[id(d)] = (lls[i], mls[i], offs[i])
+        return lls, mls, offs, ofvs
+    return None
 
-    # --- assemble frame-level sequence + literal arrays -------------------
+
+def _fix_rep_carry(seq_blocks, rows, lls, ofvs, offs):
+    """Re-resolve repeat offsets sequentially across ONE frame's blocks
+    (batch rows ``rows`` of the _fse_batch arrays), mutating ``offs``."""
+    any_rep_after_first = any(
+        (ofvs[rows[i]][: seq_blocks[i]["nseq"]] <= 3).any()
+        for i in range(1, len(seq_blocks))
+    )
+    if any_rep_after_first:
+        r1, r2, r3 = 1, 4, 8
+        for i, d in zip(rows, seq_blocks):
+            n = d["nseq"]
+            for k in range(n):
+                ofv = int(ofvs[i][k])
+                ll = int(lls[i][k])
+                if ofv > 3:
+                    off = ofv - 3
+                    r1, r2, r3 = off, r1, r2
+                else:
+                    j = ofv + (1 if ll == 0 else 0)
+                    if j == 1:
+                        off = r1
+                    elif j == 2:
+                        off = r2
+                        r1, r2 = r2, r1
+                    elif j == 3:
+                        off = r3
+                        r1, r2, r3 = r3, r1, r2
+                    else:
+                        off = r1 - 1
+                        r1, r2, r3 = off, r1, r2
+                offs[i][k] = off
+
+
+def _frame_triples(plan, decoded_streams, si, seq_lookup):
+    """Assemble one frame's flat (lls, mls, offs, literals) arrays from its
+    plan plus the batch-decoded streams/sequences. ``si`` is this frame's
+    cursor into decoded_streams; returns (lls, mls, offs, literals, si)."""
     all_ll, all_ml, all_off = [], [], []
     lit_parts = []
-    si = 0
     for kind, *args in plan:
         if kind == "raw":
             data = args[0]
@@ -660,7 +668,7 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
             if n == 0:
                 all_ll.append([len(chunk)]); all_ml.append([0]); all_off.append([1])
             else:
-                bl, bm, bo = seq_results[id(d)]
+                bl, bm, bo = seq_lookup[id(d)]
                 used = int(bl[:n].sum())
                 all_ll.append(list(bl[:n]) + [len(chunk) - used])
                 all_ml.append(list(bm[:n]) + [0])
@@ -670,6 +678,36 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
     mls = np.concatenate([np.asarray(x, np.int64) for x in all_ml]).astype(np.int32)
     offs = np.concatenate([np.asarray(x, np.int64) for x in all_off]).astype(np.int32)
     literals = np.concatenate(lit_parts) if lit_parts else np.zeros(0, np.uint8)
+
+    return lls, mls, offs, literals, si
+
+
+def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = True):
+    """Decode one zstd frame with the device kernels (host parses headers
+    and entropy tables; Huffman/FSE symbol loops and sequence execution run
+    on device). Returns (bytes, end_pos)."""
+    jax, jnp = _lazy_jax()
+    from .errors import checksum_wrong, corruption_detected
+    from .ops.seq_exec import execute_sequences_tpu
+
+    hdr, plan, fpos = _plan_frame(frame, pos)
+
+    stream_list = []
+    for kind, *args in plan:
+        if kind == "cmp" and "streams" in args[0]:
+            stream_list.extend(args[0]["streams"])
+    decoded_streams = _huf_batch(stream_list)
+
+    cmp_blocks = [args[0] for kind, *args in plan if kind == "cmp"]
+    seq_blocks = [d for d in cmp_blocks if d.get("nseq", 0) > 0]
+    seq_lookup = {}
+    if seq_blocks:
+        lls_b, mls_b, offs_b, ofvs_b = _fse_batch(seq_blocks)
+        _fix_rep_carry(seq_blocks, list(range(len(seq_blocks))), lls_b, ofvs_b, offs_b)
+        for i, d in enumerate(seq_blocks):
+            seq_lookup[id(d)] = (lls_b[i], mls_b[i], offs_b[i])
+
+    lls, mls, offs, literals, _ = _frame_triples(plan, decoded_streams, 0, seq_lookup)
 
     total = int(lls.sum() + mls.sum())
     out_bound = max(total, 1)
