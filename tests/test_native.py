@@ -171,3 +171,22 @@ def test_size_beats_libzstd_per_level(level):
     assert ours <= ref * 1.01, f"L{level}: {ours} vs {ref}"
     out, _ = loader.decompress_frame(loader.compress_frame(data, level=level), len(data) + 64)
     assert out == data
+
+
+def test_huge_declared_content_size_rejected_fast():
+    # A corrupt frame header declaring an enormous content size must fail
+    # fast (taxonomy error), not size allocations by the declared value.
+    import struct
+    import time
+
+    frame = (
+        b"\x28\xb5\x2f\xfd"  # magic
+        + bytes([0xC0])       # fhd: 8-byte FCS, no checksum, windowed
+        + bytes([0x00])       # window descriptor
+        + struct.pack("<Q", 1 << 60)  # declared content size
+        + b"\x01\x00\x00"     # bogus last-block header
+    )
+    t0 = time.time()
+    with pytest.raises(Exception):
+        loader.decompress_frame(frame, 1 << 20)
+    assert time.time() - t0 < 2.0

@@ -134,25 +134,34 @@ struct BitWriter {
 // Backward bit reader over [start, end): last byte holds the sentinel.
 struct BitReaderBack {
   const u8* start;
+  size_t len;
   i64 rem;  // payload bits remaining
   bool ok = true;
-  BitReaderBack(const u8* s, size_t len) : start(s) {
-    if (!len || s[len - 1] == 0) { ok = false; rem = 0; return; }
-    rem = (i64)(len - 1) * 8 + highbit(s[len - 1]);
+  BitReaderBack(const u8* s, size_t n) : start(s), len(n) {
+    if (!n || s[n - 1] == 0) { ok = false; rem = 0; return; }
+    rem = (i64)(n - 1) * 8 + highbit(s[n - 1]);
+  }
+  // 8-byte little-endian window at byte offset, clamped to the slice: the
+  // stream may sit at the very end of the caller's buffer, so an
+  // unconditional 8-byte load could read past it.
+  inline u64 window_at(size_t byt) const {
+    u64 w = 0;
+    size_t take = len - byt;
+    if (take >= 8) { memcpy(&w, start + byt, 8); }
+    else { memcpy(&w, start + byt, take); }
+    return w;
   }
   inline u32 read(int n) {
     rem -= n;
     if (n == 0) return 0;
     i64 lo = rem;
     if (lo >= 0) {
-      u64 window = 0;
-      // up to 8 bytes from byte lo>>3 (bounded by caller's buffer)
-      memcpy(&window, start + (lo >> 3), 8);
+      u64 window = window_at((size_t)(lo >> 3));
       return (u32)((window >> (lo & 7)) & ((n >= 32) ? 0xFFFFFFFFULL : ((1ULL << n) - 1)));
     }
     i64 avail = n + lo;
     if (avail <= 0) return 0;
-    u64 window; memcpy(&window, start, 8);
+    u64 window = window_at(0);
     return (u32)((window & ((1ULL << avail) - 1)) << (-lo));
   }
   // One load for a group of consecutive reads (n <= 56); first-read value
@@ -162,13 +171,12 @@ struct BitReaderBack {
     if (n == 0) return 0;
     i64 lo = rem;
     if (lo >= 0) {
-      u64 window;
-      memcpy(&window, start + (lo >> 3), 8);
+      u64 window = window_at((size_t)(lo >> 3));
       return (window >> (lo & 7)) & ((1ULL << n) - 1);
     }
     i64 avail = n + lo;
     if (avail <= 0) return 0;
-    u64 window; memcpy(&window, start, 8);
+    u64 window = window_at(0);
     return (window & ((1ULL << avail) - 1)) << (-lo);
   }
 };
@@ -858,6 +866,7 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
       c = M.chain[c];
     }
   }
+  if (mlimit - ip < 16) { *off_out = best_off; return best_len; }
   u32 h2 = Matcher::hash16(ip);
   i32 cand2 = M.table2[h2];
   M.table2[h2] = (i32)cur;
@@ -1007,7 +1016,7 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
       u32 hq = Matcher::hash6(q);
       if (!M.chain.empty()) M.chain[qo] = M.table[hq];
       M.table[hq] = (i32)qo;
-      M.table2[Matcher::hash16(q)] = (i32)qo;
+      if (iend - q >= 16) M.table2[Matcher::hash16(q)] = (i32)qo;
     }
     ip = mend;
     anchor = ip;
@@ -1282,12 +1291,13 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
     const u8* p = base;
     const u8* pe = base + (prefix_n > 8 ? prefix_n - 8 : 0);
     OptCand dummy[1];
+    const u8* hend = base + prefix_n + n;  // buffer holds prefix + data
     for (; p < pe; p++) {
       size_t po = (size_t)(p - base);
       u32 hp = Matcher::hash6(p);
       if (depth) M.chain[po] = M.table[hp];
       M.table[hp] = (i32)po;
-      M.table2[Matcher::hash16(p)] = (i32)po;
+      if (hend - p >= 16) M.table2[Matcher::hash16(p)] = (i32)po;
       if (!M.btree.empty()) {
         M.table3[Matcher::hash3(p)] = (i32)po;
         bt_insert_search(base, p, base + prefix_n, M, 24, dummy, false, 4096);
@@ -1438,7 +1448,12 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
   // a scratch window (prefix support / unknown size) and copy out at the
   // end. In-place saves two full passes over the output (zeroing +
   // copy-out), the decoder's main bandwidth overhead vs. libzstd.
+  // A declared size beyond the caller's buffer can only fail; reject it
+  // before sizing any allocation by it (corrupt headers must not drive
+  // multi-GB resizes).
+  if (content_size != (u64)-1 && content_size > cap) return -1;
   u64 est = content_size != (u64)-1 ? content_size : (u64)n * 16 + (1u << 20);
+  if (est > cap) est = cap;
   bool in_place = prefix_n == 0 && content_size != (u64)-1 && content_size <= cap;
   std::vector<u8> win;
   u8* wp;
@@ -1938,13 +1953,13 @@ static int gather_cands(const u8* base, const u8* ip, const u8* mlimit,
     return n;
   }
   u32 h = Matcher::hash6(ip);
-  u32 h2 = Matcher::hash16(ip);
+  bool can16 = mlimit - ip >= 16;
   if (!probe) {
     // Insert-only fast path (interior of a long match): keep the tables
     // populated so later positions still find their candidates.
     if (!M.chain.empty() && (size_t)M.chain.size() > cur) M.chain[cur] = M.table[h];
     M.table[h] = (i32)cur;
-    M.table2[h2] = (i32)cur;
+    if (can16) M.table2[Matcher::hash16(ip)] = (i32)cur;
     M.table3[h3] = (i32)cur;
     return 0;
   }
@@ -1978,11 +1993,14 @@ static int gather_cands(const u8* base, const u8* ip, const u8* mlimit,
     }
     cand = M.chain.empty() ? -1 : M.chain[cand];
   }
-  i32 c2 = M.table2[h2];
-  M.table2[h2] = (i32)cur;
-  if (c2 >= 0 && (size_t)c2 < cur && read32(base + c2) == read32(ip)) {
-    u32 l = match_len(ip, base + c2, mlimit);
-    if (l >= 4 && l > best_near) out[n++] = {l, (u32)(cur - c2)};
+  if (can16) {
+    u32 h2 = Matcher::hash16(ip);
+    i32 c2 = M.table2[h2];
+    M.table2[h2] = (i32)cur;
+    if (c2 >= 0 && (size_t)c2 < cur && read32(base + c2) == read32(ip)) {
+      u32 l = match_len(ip, base + c2, mlimit);
+      if (l >= 4 && l > best_near) out[n++] = {l, (u32)(cur - c2)};
+    }
   }
   return n;
 }
