@@ -308,6 +308,15 @@ struct FseEncState {
     bw.add((u32)state, nb);
     state = t->state_table[(state >> nb) + t->delta_fs[sym]];
   }
+  // Compute this step's (bits, nbits) without writing (lets the caller
+  // fuse several streams' state bits into one wide write).
+  inline u64 step(int sym, int* nb_out) {
+    int nb = (state + t->delta_nb[sym]) >> 16;
+    u64 bits = (u64)(u32)state & ((1ULL << nb) - 1);
+    state = t->state_table[(state >> nb) + t->delta_fs[sym]];
+    *nb_out = nb;
+    return bits;
+  }
   inline void flush(BitWriter& bw) { bw.add((u32)state, t->log); }
 };
 
@@ -1221,9 +1230,13 @@ static void write_sequences_section(std::vector<u8>& out,
   };
   add_extras(last);
   for (size_t i = n - 1; i-- > 0;) {
-    ofs_.encode(bw, ofc[i]);
-    mls_.encode(bw, mlc[i]);
-    lls_.encode(bw, llc[i]);
+    // Fuse the three interleaved state writes (<= 26 bits total) into one
+    // wide write: read order is of, ml, ll so of lands in the low bits.
+    int ob, mb, lb;
+    u64 ofb = ofs_.step(ofc[i], &ob);
+    u64 mlb = mls_.step(mlc[i], &mb);
+    u64 llb = lls_.step(llc[i], &lb);
+    bw.add_wide(ofb | (mlb << ob) | (llb << (ob + mb)), ob + mb + lb);
     add_extras(i);
   }
   mls_.flush(bw);
