@@ -105,8 +105,10 @@ def bench_native(corpus: bytes, frame_size: int):
     if not loader.available():
         return None
     n = len(corpus)
+    # Oversubscribing shared vCPUs measurably hurts; one thread per core.
+    nt = os.cpu_count() or 4
     # Warm-up + correctness.
-    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=8)
+    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=nt)
     st = SeekTable.from_frames(
         (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
     )
@@ -118,7 +120,7 @@ def bench_native(corpus: bytes, frame_size: int):
     reps = 0
     while reps < 6 or (time.time() - t_start < budget and reps < 40):
         t0 = time.time()
-        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=8)
+        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=nt)
         st = SeekTable.from_frames(
             (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
         )
@@ -135,7 +137,7 @@ def bench_native(corpus: bytes, frame_size: int):
     while reps < 6 or (time.time() - t_start < budget / 2 and reps < 40):
         t0 = time.time()
         out = loader.decompress_stream_mt(
-            blob, list(map(int, c_off)), list(map(int, d_off)), nthreads=6
+            blob, list(map(int, c_off)), list(map(int, d_off)), nthreads=nt
         )
         best_dec = max(best_dec, n / (time.time() - t0) / (1 << 20))
         reps += 1
