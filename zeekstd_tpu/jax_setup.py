@@ -1,0 +1,72 @@
+"""Shared JAX initialization: persistent compilation cache + timing hooks.
+
+The reference measures perf offline with Criterion (SURVEY §5); on TPU the
+equivalent discipline is (a) a persistent compilation cache so benchmarks
+measure steady-state rather than XLA compile time, and (b) cheap per-phase
+wall timers to attribute where device pipelines spend time.
+
+The cache directory defaults to ``.jax_cache`` next to the repo root and
+can be overridden with ``ZEEKSTD_JAX_CACHE_DIR`` (set to ``off`` to
+disable). Safe to call any number of times, from any thread, before or
+after the backend initializes (the cache config only needs to precede the
+first *compilation*).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_configured = False
+
+
+def ensure_cache() -> None:
+    """Enable JAX's persistent compilation cache (idempotent)."""
+    global _configured
+    if _configured:
+        return
+    _configured = True
+    cache_dir = os.environ.get("ZEEKSTD_JAX_CACHE_DIR")
+    if cache_dir == "off":
+        return
+    if not cache_dir:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_TIMING = os.environ.get("ZEEKSTD_TPU_TIMING") == "1"
+
+
+class phase_timer:
+    """``with phase_timer("parse"):`` prints the phase wall time to stderr
+    when ZEEKSTD_TPU_TIMING=1; free otherwise."""
+
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        if _TIMING:
+            self.t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        if _TIMING:
+            print(
+                f"[tpu-timing] {self.name}: {time.time() - self.t0:.3f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+        return False

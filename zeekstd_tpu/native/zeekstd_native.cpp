@@ -730,6 +730,15 @@ static const u8 ML_BITS[53] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
                                1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
                                11, 12, 13, 14, 15, 16};
 
+// Fused (base << 6 | extra_bits) per code: one load instead of two in the
+// decoder's hot loop (largest base 65539 needs 17 bits; 23 bits total).
+static u32 LL_BB[36], ML_BB[53];
+static const bool g_bb_init = [] {
+  for (int c = 0; c < 36; c++) LL_BB[c] = (LL_BASE[c] << 6) | LL_BITS[c];
+  for (int c = 0; c < 53; c++) ML_BB[c] = (ML_BASE[c] << 6) | ML_BITS[c];
+  return true;
+}();
+
 static const i16 LL_DEF_NORM[36] = {4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
                                     2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
                                     -1, -1, -1, -1};
@@ -1374,6 +1383,22 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
 
 // ------------------------------------------------------------- decoder ----
 
+#ifdef ZN_PROF
+#include <x86intrin.h>
+static thread_local unsigned long long zn_prof_lit = 0, zn_prof_seq = 0,
+                                       zn_prof_hdr = 0, zn_prof_sum = 0;
+extern "C" void zn_prof_get(unsigned long long* out4) {
+  out4[0] = zn_prof_lit; out4[1] = zn_prof_seq;
+  out4[2] = zn_prof_hdr; out4[3] = zn_prof_sum;
+}
+extern "C" void zn_prof_reset() {
+  zn_prof_lit = zn_prof_seq = zn_prof_hdr = zn_prof_sum = 0;
+}
+#define ZN_TSC(var, expr) do { unsigned long long _t0 = __rdtsc(); expr; var += __rdtsc() - _t0; } while (0)
+#else
+#define ZN_TSC(var, expr) expr
+#endif
+
 struct DecCtx {
   FseDecTable ll, of, ml;
   bool ll_ok = false, of_ok = false, ml_ok = false;
@@ -1645,6 +1670,9 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
           }
           return br.rem == 0;
         };
+#ifdef ZN_PROF
+        unsigned long long _lt0 = __rdtsc();
+#endif
         if (four) {
           if (prem < 6) return -1;
           size_t s1 = payload[0] | (payload[1] << 8);
@@ -1664,6 +1692,9 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
         } else {
           if (!dec_stream(payload, prem, lits.data(), regen)) return -1;
         }
+#ifdef ZN_PROF
+        zn_prof_lit += __rdtsc() - _lt0;
+#endif
       }
       lits.resize(lit_n + 16);  // slack for 16-byte wild literal copies
       // sequences
@@ -1695,6 +1726,9 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
         c = read_symbol_table(lp, lrem, (modes >> 2) & 3, 52, 9, &g_ml_def_dec, &ctx.ml, &ctx.ml_ok, &mlt);
         if (c < 0) return -1; lp += c; lrem -= c;
 
+#ifdef ZN_PROF
+        unsigned long long _st0 = __rdtsc();
+#endif
         BitReaderBack br(lp, lrem);
         if (!br.ok) return -1;
         int ll_s = (int)br.read(llt->log);
@@ -1702,7 +1736,94 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
         int ml_s = (int)br.read(mlt->log);
         if (br.rem < 0) return -1;
         size_t lit_pos = 0;
-        for (size_t i = 0; i < nseq; i++) {
+        size_t i = 0;
+        // Fast path: while at least one more sequence follows and >=57
+        // payload bits remain, a single unaligned 8-byte window usually
+        // covers this sequence's extra bits AND the three state updates
+        // (one load instead of two bounds-checked read_wides). Rep-offset
+        // history updates are branchless (cmov-friendly selects) because
+        // rep-vs-real alternates unpredictably on text.
+        {
+          const u8* bs = br.start;
+          const size_t bl = br.len;
+          while (i + 1 < nseq && br.rem >= 57) {
+            u32 ofe = oft->packed[of_s];
+            u32 mle = mlt->packed[ml_s];
+            u32 lle = llt->packed[ll_s];
+            // Codes from decode tables are range-validated at build time, so
+            // no per-sequence bounds check is needed here (slow path keeps
+            // one as a safety net).
+            int of_code = ofe & 0xFF;
+            u32 mlbb = ML_BB[mle & 0xFF];
+            u32 llbb = LL_BB[lle & 0xFF];
+            int mlb = mlbb & 63, llb = llbb & 63;
+            int eb = of_code + mlb + llb;
+            int lb = (lle >> 8) & 0xFF, mb2 = (mle >> 8) & 0xFF, ob = (ofe >> 8) & 0xFF;
+            int ub = lb + mb2 + ob;
+            if (eb + ub > 57) break;  // rare giant offset: slow path finishes
+            i64 lo = br.rem - 57;
+            u64 w;
+            memcpy(&w, bs + (lo >> 3), 8);
+            w >>= (lo & 7);  // bits [br.rem-57, br.rem) in the top 57
+            u64 extras = (w >> (57 - eb)) & ((1ULL << eb) - 1);
+            u64 upd = (w >> (57 - eb - ub)) & ((1ULL << ub) - 1);
+            u32 ofv = (1u << of_code) + (u32)(extras >> (mlb + llb));
+            u32 mlv = (mlbb >> 6) + (u32)((extras >> llb) & ((1u << mlb) - 1));
+            u32 llv = (llbb >> 6) + (u32)(extras & ((1u << llb) - 1));
+            // Leave all state untouched before this break: the slow loop
+            // below re-decodes this sequence from the same bit position.
+            if (wp + llv + mlv + 32 > wlimit) break;  // near the end: exact path
+            br.rem -= eb + ub;
+            ll_s = (int)(lle >> 16) + (int)(upd >> (mb2 + ob));
+            ml_s = (int)(mle >> 16) + (int)((upd >> ob) & ((1u << mb2) - 1));
+            of_s = (int)(ofe >> 16) + (int)(upd & ((1u << ob) - 1));
+            // Branchless repeat-offset resolution (sel==0 means real offset).
+            u32 sel = ofv <= 3 ? ofv + (llv == 0 ? 1u : 0u) : 0u;
+            u32 cand1 = sel == 2 ? reps[1] : (sel == 3 ? reps[2] : reps[0]);
+            u32 repv = sel == 4 ? reps[0] - 1 : cand1;
+            u32 off = sel == 0 ? ofv - 3 : repv;
+            if (!off) return -1;
+            u32 nr2 = sel == 1 ? reps[1] : reps[0];
+            u32 nr3 = (sel == 1 || sel == 2) ? reps[2] : reps[1];
+            reps[0] = off; reps[1] = nr2; reps[2] = nr3;
+            if (lit_pos + llv > lit_n) return -1;
+            {
+              const u8* q = lits.data() + lit_pos;
+              u8* o = wp;
+              memcpy(o, q, 16);
+              for (size_t k = 16; k < llv; k += 16) memcpy(o + k, q + k, 16);
+              wp += llv;
+              lit_pos += llv;
+            }
+            if (mlv) {
+              if ((size_t)(wp - wbase) < off) return -1;
+              const u8* q = wp - off;
+              u8* o = wp;
+              wp += mlv;
+              if (off >= 16) {
+                memcpy(o, q, 16);
+                for (u32 k = 16; k < mlv; k += 16) memcpy(o + k, q + k, 16);
+              } else if (off >= 8) {
+                memcpy(o, q, 8);
+                for (u32 k = 8; k < mlv; k += 8) memcpy(o + k, q + k, 8);
+              } else {
+                // Overlapping copy: write the first 8 bytes with byte/4-byte
+                // copies (shifted source keeps the 4-byte copy overlap-free),
+                // then continue at distance D = off*ceil(8/off) >= 8, which
+                // preserves the period while allowing 8-byte steps.
+                static const int sft4[8] = {0, 1, 2, 1, 4, 4, 4, 4};
+                static const u32 DT[8] = {8, 8, 8, 9, 8, 10, 12, 14};
+                o[0] = q[0]; o[1] = q[1]; o[2] = q[2]; o[3] = q[3];
+                memcpy(o + 4, q + sft4[off], 4);
+                const u8* q2 = o + 8 - DT[off];
+                for (u32 k = 8; k < mlv; k += 8) memcpy(o + k, q2 + k - 8, 8);
+              }
+            }
+            i++;
+          }
+          (void)bl;
+        }
+        for (; i < nseq; i++) {
           u32 ofe = oft->packed[of_s];
           u32 mle = mlt->packed[ml_s];
           u32 lle = llt->packed[ll_s];
@@ -1778,6 +1899,9 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
           memcpy(wp, lits.data() + lit_pos, rest);
           wp += rest;
         }
+#ifdef ZN_PROF
+        zn_prof_seq += __rdtsc() - _st0;
+#endif
       }
     }
     if (last) break;
@@ -1788,7 +1912,8 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
     if (pos + 4 > n) return -1;
     u32 stored = read32(src + pos);
     pos += 4;
-    u32 calc = (u32)zn_xxh64(out_start, out_n, 0);
+    u32 calc;
+    ZN_TSC(zn_prof_sum, calc = (u32)zn_xxh64(out_start, out_n, 0));
     if (stored != calc) return -2;
   }
   if (content_size != (u64)-1 && out_n != content_size) return -1;

@@ -25,6 +25,9 @@ from ..seek_table import SeekTable
 
 
 def _jax():
+    from ..jax_setup import ensure_cache
+
+    ensure_cache()
     import jax
     import jax.numpy as jnp
 

@@ -26,6 +26,7 @@ from .codec import literals as lit_mod
 from .codec import sequences as seq_mod
 from .codec.seq_encode import _choose_table, write_num_sequences
 from .constants import ZSTD_BLOCK_SIZE_MAX
+from .jax_setup import phase_timer
 from .seek_table import SeekTable
 from .xxhash64 import XXH64
 
@@ -35,6 +36,9 @@ _fns = {}
 
 
 def _jx():
+    from .jax_setup import ensure_cache
+
+    ensure_cache()
     import jax
     import jax.numpy as jnp
 
@@ -210,28 +214,32 @@ def tpu_compress_archive(data: bytes, frame_size: int = 2 << 20, checksum: bool 
         lengths[i] = len(chunk)
 
     # --- dispatch 1: parse + stats ---------------------------------------
-    parse = _parse_stats_fn(frame_size, seq_bound, B)
-    out = parse(jnp.asarray(frames), jnp.asarray(lengths))
-    (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d,
-     n_seq, n_lit, n_raw,
-     seq_cnt, first_idx, ml_sum, litcnt,
-     ll_hist, ml_hist, of_hist, lit_hist) = out
+    with phase_timer("enc.parse_dispatch"):
+        parse = _parse_stats_fn(frame_size, seq_bound, B)
+        out = parse(jnp.asarray(frames), jnp.asarray(lengths))
+        (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d,
+         n_seq, n_lit, n_raw,
+         seq_cnt, first_idx, ml_sum, litcnt,
+         ll_hist, ml_hist, of_hist, lit_hist) = out
+        out[0].block_until_ready()
 
     # Pull ONLY the small stats.
-    n_seq = np.asarray(n_seq)
-    n_raw = np.asarray(n_raw)
-    seq_cnt = np.asarray(seq_cnt)
-    first_idx = np.asarray(first_idx)
-    litcnt = np.asarray(litcnt)
-    ll_hist = np.asarray(ll_hist)
-    ml_hist = np.asarray(ml_hist)
-    of_hist = np.asarray(of_hist)
-    lit_hist = np.asarray(lit_hist)
+    with phase_timer("enc.stats_pull"):
+        n_seq = np.asarray(n_seq)
+        n_raw = np.asarray(n_raw)
+        seq_cnt = np.asarray(seq_cnt)
+        first_idx = np.asarray(first_idx)
+        litcnt = np.asarray(litcnt)
+        ll_hist = np.asarray(ll_hist)
+        ml_hist = np.asarray(ml_hist)
+        of_hist = np.asarray(of_hist)
+        lit_hist = np.asarray(lit_hist)
 
     # Frames whose parse overflowed fall back to the host encoder.
     overflow = n_raw > seq_bound
 
     # --- host: per-block decisions ---------------------------------------
+    _t_host = phase_timer("enc.host_decisions").__enter__()
     blocks = []  # descriptors for device-encoded blocks
     for f in range(F):
         if overflow[f]:
@@ -310,8 +318,10 @@ def tpu_compress_archive(data: bytes, frame_size: int = 2 << 20, checksum: bool 
         d["tables"] = choices
         d["fse_job"] = len(fse_jobs)
         fse_jobs.append(d)
+    _t_host.__exit__()
 
     # --- dispatch 2: FSE blocks ------------------------------------------
+    _t_fse = phase_timer("enc.fse_dispatch+pull").__enter__()
     fse_words = fse_bits = None
     if fse_jobs:
         SB = 1 << max(max(d["nseq"] for d in fse_jobs) - 1, 1).bit_length()
@@ -361,8 +371,10 @@ def tpu_compress_archive(data: bytes, frame_size: int = 2 << 20, checksum: bool 
         )
         fse_bits = np.asarray(fse_bits)
         fse_words = np.asarray(fse_words)  # (NB, word_bound)
+    _t_fse.__exit__()
 
     # --- dispatch 3: Huffman streams -------------------------------------
+    _t_huf = phase_timer("enc.huf_dispatch+pull").__enter__()
     huf_words = huf_bits = None
     if huf_jobs:
         seg_bound = 1 << max(max(j[2] for j in huf_jobs) - 1, 1).bit_length()
@@ -379,8 +391,10 @@ def tpu_compress_archive(data: bytes, frame_size: int = 2 << 20, checksum: bool 
         )
         huf_words = np.asarray(huf_words)
         huf_bits = np.asarray(huf_bits)
+    _t_huf.__exit__()
 
     # --- host assembly ----------------------------------------------------
+    _t_asm = phase_timer("enc.host_assembly").__enter__()
     lits_host = None  # lazily pulled only if some block needs raw literals
     blob = bytearray()
     st = SeekTable()
@@ -435,6 +449,7 @@ def tpu_compress_archive(data: bytes, frame_size: int = 2 << 20, checksum: bool 
             fout += (h.digest() & 0xFFFF_FFFF).to_bytes(4, "little")
         blob += fout
         st.log_frame(len(fout), len(fdata))
+    _t_asm.__exit__()
     return bytes(blob), st
 
 
@@ -507,6 +522,7 @@ def tpu_decompress_archive(blob: bytes, seek_table=None, verify_checksum: bool =
     from .errors import checksum_wrong, corruption_detected
 
     # --- host: plan every frame ------------------------------------------
+    _t_plan = phase_timer("dec.plan").__enter__()
     plans = []  # (hdr, plan, checksum_pos)
     if seek_table is not None:
         for i in range(seek_table.num_frames):
@@ -526,71 +542,77 @@ def tpu_decompress_archive(blob: bytes, seek_table=None, verify_checksum: bool =
             plans.append((hdr, plan, fpos))
             pos = fpos + (4 if hdr.has_checksum else 0)
 
+    _t_plan.__exit__()
+
     # --- device dispatch 1: all Huffman streams ---------------------------
-    stream_list = []
-    frame_stream_base = []
-    for _, plan, _ in plans:
-        frame_stream_base.append(len(stream_list))
-        for kind, *args in plan:
-            if kind == "cmp" and "streams" in args[0]:
-                stream_list.extend(args[0]["streams"])
-    decoded_streams = _huf_batch(stream_list)
+    with phase_timer("dec.huf_batch"):
+        stream_list = []
+        frame_stream_base = []
+        for _, plan, _ in plans:
+            frame_stream_base.append(len(stream_list))
+            for kind, *args in plan:
+                if kind == "cmp" and "streams" in args[0]:
+                    stream_list.extend(args[0]["streams"])
+        decoded_streams = _huf_batch(stream_list)
 
     # --- device dispatch 2: all FSE sequence streams ----------------------
-    seq_blocks = []
-    frame_rows = []  # per frame: list of batch-row indices
-    for _, plan, _ in plans:
-        rows = []
-        for kind, *args in plan:
-            if kind == "cmp" and args[0].get("nseq", 0) > 0:
-                rows.append(len(seq_blocks))
-                seq_blocks.append(args[0])
-        frame_rows.append(rows)
-    if seq_blocks:
-        lls_b, mls_b, offs_b, ofvs_b = _fse_batch(seq_blocks)
+    with phase_timer("dec.fse_batch"):
+        seq_blocks = []
+        frame_rows = []  # per frame: list of batch-row indices
+        for _, plan, _ in plans:
+            rows = []
+            for kind, *args in plan:
+                if kind == "cmp" and args[0].get("nseq", 0) > 0:
+                    rows.append(len(seq_blocks))
+                    seq_blocks.append(args[0])
+            frame_rows.append(rows)
+        if seq_blocks:
+            lls_b, mls_b, offs_b, ofvs_b = _fse_batch(seq_blocks)
     # Cross-block repeat-offset carry is per frame.
-    seq_lookup = {}
-    for rows in frame_rows:
-        if not rows:
-            continue
-        frame_blocks = [seq_blocks[r] for r in rows]
-        _fix_rep_carry(frame_blocks, rows, lls_b, ofvs_b, offs_b)
-        for r in rows:
-            seq_lookup[id(seq_blocks[r])] = (lls_b[r], mls_b[r], offs_b[r])
+    with phase_timer("dec.rep_carry+triples"):
+        seq_lookup = {}
+        for rows in frame_rows:
+            if not rows:
+                continue
+            frame_blocks = [seq_blocks[r] for r in rows]
+            _fix_rep_carry(frame_blocks, rows, lls_b, ofvs_b, offs_b)
+            for r in rows:
+                seq_lookup[id(seq_blocks[r])] = (lls_b[r], mls_b[r], offs_b[r])
 
-    # --- assemble per-frame triples ---------------------------------------
-    triples = []
-    totals = []
-    for fi, (hdr, plan, _) in enumerate(plans):
-        lls, mls, offs, literals, _ = _frame_triples(
-            plan, decoded_streams, frame_stream_base[fi], seq_lookup
-        )
-        triples.append((lls, mls, offs, literals))
-        totals.append(int(lls.sum() + mls.sum()))
+        # --- assemble per-frame triples -----------------------------------
+        triples = []
+        totals = []
+        for fi, (hdr, plan, _) in enumerate(plans):
+            lls, mls, offs, literals, _ = _frame_triples(
+                plan, decoded_streams, frame_stream_base[fi], seq_lookup
+            )
+            triples.append((lls, mls, offs, literals))
+            totals.append(int(lls.sum() + mls.sum()))
 
     if not plans:
         return b""
 
     # --- device dispatch 3: vmapped sequence execution --------------------
-    F = len(plans)
-    S = max(max(len(t[0]) for t in triples), 1)
-    L = max(max(len(t[3]) for t in triples), 1)
-    out_bound = max(max(totals), 1)
-    lls_p = np.zeros((F, S), np.int32)
-    mls_p = np.zeros((F, S), np.int32)
-    offs_p = np.ones((F, S), np.int32)
-    lits_p = np.zeros((F, L), np.uint8)
-    for i, (lls, mls, offs, literals) in enumerate(triples):
-        lls_p[i, : len(lls)] = lls
-        mls_p[i, : len(mls)] = mls
-        offs_p[i, : len(offs)] = offs
-        lits_p[i, : len(literals)] = literals
-    out = np.asarray(
-        execute_sequences_batch(
-            jnp.asarray(lits_p), jnp.asarray(lls_p), jnp.asarray(mls_p),
-            jnp.asarray(offs_p), out_bound,
+    with phase_timer("dec.seq_exec+pull"):
+        F = len(plans)
+        S = max(max(len(t[0]) for t in triples), 1)
+        L = max(max(len(t[3]) for t in triples), 1)
+        out_bound = max(max(totals), 1)
+        lls_p = np.zeros((F, S), np.int32)
+        mls_p = np.zeros((F, S), np.int32)
+        offs_p = np.ones((F, S), np.int32)
+        lits_p = np.zeros((F, L), np.uint8)
+        for i, (lls, mls, offs, literals) in enumerate(triples):
+            lls_p[i, : len(lls)] = lls
+            mls_p[i, : len(mls)] = mls
+            offs_p[i, : len(offs)] = offs
+            lits_p[i, : len(literals)] = literals
+        out = np.asarray(
+            execute_sequences_batch(
+                jnp.asarray(lits_p), jnp.asarray(lls_p), jnp.asarray(mls_p),
+                jnp.asarray(offs_p), out_bound,
+            )
         )
-    )
 
     # --- verify + join -----------------------------------------------------
     parts = []

@@ -41,6 +41,9 @@ _fns = {}
 def _lazy_jax():
     global _jax, _jnp
     if _jax is None:
+        from .jax_setup import ensure_cache
+
+        ensure_cache()
         import jax
         import jax.numpy as jnp
 
