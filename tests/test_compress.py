@@ -137,3 +137,60 @@ def test_window_log_override():
     out, _ = decompress_frame(frame, window_log_max=12)
     assert out == data
     assert zstd_decompress(frame) == data
+
+
+def test_ldm_patch_mode_shrinks_output():
+    """LDM reaches across a prefix far larger than what the ordinary
+    hash tables retain (reference behavior: EnableLongDistanceMatching in
+    patch mode, cli/src/compress.rs:31-37). The workload floods the short
+    hash buckets with near-range template repeats so only the 32-byte
+    long-distance table can re-lock onto the aligned prefix positions."""
+    import random
+
+    from zeekstd_tpu.codec.compress import compress_frame
+    from zeekstd_tpu.codec.decompress import decompress_frame
+
+    rng = random.Random(99)
+    words = ["GET", "POST", "/api/v1/items", "200", "404", "t=12ms"]
+    lines = [
+        f"10:{i%60:02d}:{i%60:02d} host-{i%8} {rng.choice(words)} {rng.choice(words)}\n"
+        for i in range(12000)
+    ]
+    prefix = "".join(lines).encode()[: 300 << 10]
+    data = bytearray(prefix)
+    for i in range(0, len(data), 4096):
+        data[i] = rng.randrange(256)
+    data = bytes(data)
+
+    plain = compress_frame(data, level=3, prefix=prefix)
+    ldm = compress_frame(data, level=3, prefix=prefix, enable_ldm=True)
+    assert len(ldm) < len(plain) // 4, (len(ldm), len(plain))
+    out, _ = decompress_frame(ldm, 0, prefix=prefix)
+    assert out == data
+
+
+def test_ldm_patch_mode_native():
+    import random
+
+    import pytest
+
+    from zeekstd_tpu.native import loader
+
+    if not loader.available():
+        pytest.skip("native runtime unavailable")
+    rng = random.Random(7)
+    base = bytes(
+        rng.randrange(65, 91) if i % 97 else 10 for i in range(600 << 10)
+    )
+    # low-entropy repetitive body defeats the short tables
+    body = (b"field=alpha;field=beta;field=gamma;" * 20000)[: 600 << 10]
+    prefix = bytes(a ^ 0 for a in body)
+    data = bytearray(prefix)
+    for i in range(0, len(data), 8192):
+        data[i] = rng.randrange(256)
+    data = bytes(data)
+    plain = loader.compress_frame(data, prefix=prefix, level=3)
+    ldm = loader.compress_frame(data, prefix=prefix, level=3, ldm=True)
+    assert len(ldm) < len(plain), (len(ldm), len(plain))
+    out, _ = loader.decompress_frame(ldm, len(data) + 64, prefix=prefix)
+    assert out == data

@@ -42,18 +42,36 @@ def test_parallel_decompress_matches():
 
 
 def test_parallel_equals_serial_frames():
-    # Sharded compression must produce the same per-frame payloads as the
-    # single-device pipeline (determinism across shardings).
-    from zeekstd_tpu.tpu_codec import tpu_compress_frame
+    # Sharded compression must produce the same archive bytes and seek
+    # table as the single-device batched pipeline (determinism across
+    # shardings).
+    from zeekstd_tpu.tpu_archive import tpu_compress_archive
 
     data = structured_data(100_000)
     mesh = make_mesh()
     blob, st = parallel_compress(data, mesh, frame_size=32_768)
-    serial = b"".join(
-        tpu_compress_frame(data[i * 32_768 : (i + 1) * 32_768])
-        for i in range(st.num_frames)
-    )
-    assert blob == serial
+    blob1, st1 = tpu_compress_archive(data, frame_size=32_768)
+    assert blob == blob1
+    assert st.to_bytes() == st1.to_bytes()
+
+
+def test_seek_table_built_from_gathered_entries():
+    # The SeekTable must be derived from the all-gathered entry array, so
+    # its entries must agree with the actual zstd frame boundaries found
+    # by walking the archive bytes (not with any host-side bookkeeping).
+    from zeekstd_tpu.codec.frame import parse_frame_header
+
+    data = structured_data(120_000)
+    mesh = make_mesh()
+    blob, st = parallel_compress(data, mesh, frame_size=16_384)
+    assert st.num_frames == -(-len(data) // 16_384)
+    pos = 0
+    for i in range(st.num_frames):
+        assert st.frame_start_comp(i) == pos, f"frame {i} start"
+        hdr = parse_frame_header(blob[pos:])
+        assert hdr.content_size == st.frame_size_decomp(i)
+        pos = st.frame_end_comp(i)
+    assert pos == len(blob)
 
 
 def test_single_device_mesh():

@@ -106,6 +106,17 @@ def compress_block(state, pos: int, size: int, last: bool) -> bytes:
                 state.prefix_len,
                 state.params.hash_bytes,
             )
+            if state.ldm_state is not None:
+                from .match import ldm_bulk_insert
+
+                ldm_bulk_insert(state.ldm_state, state.window, 0, state.prefix_len)
+    if state.ldm_state is not None:
+        # In-window positions of this block are probe-safe immediately
+        # (candidates must satisfy c < p), so one vectorized insert covers
+        # the block.
+        from .match import ldm_bulk_insert
+
+        ldm_bulk_insert(state.ldm_state, state.window, wstart, wend)
 
     seqs, literals, new_reps = find_sequences(
         state.window,
@@ -115,6 +126,7 @@ def compress_block(state, pos: int, size: int, last: bool) -> bytes:
         state.match_state,
         state.rep_offsets,
         max_dist=state.max_offset,
+        ldm=state.ldm_state,
     )
     # Snapshot carried entropy state: a raw fallback must leave the
     # decoder-visible repeat/treeless/repeat-table state untouched.

@@ -55,6 +55,7 @@ class CCtx:
             checksum=self.checksum,
             prefix=prefix,
             window_log=self.window_log,
+            enable_ldm=self.ldm,
         )
 
 
@@ -64,9 +65,10 @@ def compress_frame(
     checksum: bool = False,
     prefix: bytes = b"",
     window_log: int = 0,
+    enable_ldm: bool = False,
 ) -> bytes:
     """Compress ``data`` into a single complete zstd frame."""
-    if level <= 4 and not prefix and window_log == 0 and len(data) >= 4096:
+    if level <= 4 and not prefix and window_log == 0 and not enable_ldm and len(data) >= 4096:
         # Vectorized whole-frame fast path (numpy port of the TPU parse).
         return compress_frame_fast(data, checksum=checksum)
     enc = FrameEncoder(
@@ -75,6 +77,7 @@ def compress_frame(
         prefix=prefix,
         window_log=window_log,
         content_size=len(data),
+        enable_ldm=enable_ldm,
     )
     return enc.compress(data) + enc.finish()
 
@@ -150,6 +153,7 @@ class FrameEncoder:
         window_log: int = 0,
         content_size: int | None = None,
         block_size: int | None = None,
+        enable_ldm: bool = False,
     ):
         if window_log == 0:
             if content_size is not None:
@@ -168,7 +172,9 @@ class FrameEncoder:
         self.block_max = frame_mod.block_size_max(self.window_size)
         if block_size is not None:
             self.block_max = max(1024, min(self.block_max, block_size))
-        self.state = CompressState(prefix, level, max_offset=self.window_size)
+        self.state = CompressState(
+            prefix, level, max_offset=self.window_size, enable_ldm=enable_ldm
+        )
         self._header = frame_mod.write_frame_header(
             content_size, self.window_size, checksum
         )
@@ -225,8 +231,8 @@ class CompressState:
     """Per-frame encoder state shared across blocks: the growing
     prefix+data window, repeat-offset history, and carried entropy tables."""
 
-    def __init__(self, prefix: bytes, level: int, max_offset: int = 1 << 31):
-        from .match import params_for_level
+    def __init__(self, prefix: bytes, level: int, max_offset: int = 1 << 31, enable_ldm: bool = False):
+        from .match import LdmState, params_for_level
 
         self.prefix_len = len(prefix)
         self.window = bytearray(prefix)  # match search space, grows per block
@@ -237,6 +243,7 @@ class CompressState:
         self.huf_table = None  # carried (codes, nbits) for treeless reuse
         self.seq_tables = {}  # carried FSE tables for repeat mode
         self.match_state = None  # carried hash tables across blocks
+        self.ldm_state = LdmState() if enable_ldm else None
 
     def extend(self, data: bytes) -> None:
         self.window += data

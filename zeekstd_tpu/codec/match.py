@@ -120,6 +120,69 @@ def bulk_insert(state: "MatchState", data: bytes, start: int, end: int, nbytes: 
     state.filled_to = end
 
 
+LDM_LOG = 20
+LDM_MIN = 32
+_LDM_PRIMES = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+_LDM_MIX = 0x2545F4914F6CDD1D
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+class LdmState:
+    """Long-distance matcher: a 32-byte-window hash table over the whole
+    window (prefix + data). Keeps the first AND the most recent position
+    per bucket — the first reaches across an arbitrarily large patch
+    prefix even after nearer data has flooded the ordinary chains
+    (reference behavior: libzstd's EnableLongDistanceMatching, driven by
+    the CLI patch mode, cli/src/compress.rs:31-37)."""
+
+    def __init__(self):
+        self.first = np.full(1 << LDM_LOG, -1, dtype=np.int64)
+        self.last = np.full(1 << LDM_LOG, -1, dtype=np.int64)
+        self.filled_to = 0
+
+
+def ldm_hash_positions(data, start: int, end: int) -> np.ndarray:
+    """Vectorized 32-byte-window hash for every position in [start, end)."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    h = np.zeros(end - start, dtype=np.uint64)
+    for j in range(4):
+        v = np.zeros(end - start, dtype=np.uint64)
+        for k in range(8):
+            v |= arr[start + 8 * j + k : end + 8 * j + k] << np.uint64(8 * k)
+        h = (h ^ (v * np.uint64(_LDM_PRIMES[j]))) * np.uint64(_LDM_MIX)
+    return (h >> np.uint64(64 - LDM_LOG)).astype(np.int64)
+
+
+def _ldm_hash_one(data, p: int) -> int:
+    h = 0
+    for j in range(4):
+        v = int.from_bytes(data[p + 8 * j : p + 8 * j + 8], "little")
+        h = ((h ^ (v * _LDM_PRIMES[j])) * _LDM_MIX) & _M64
+    return h >> (64 - LDM_LOG)
+
+
+def ldm_bulk_insert(ldm: LdmState, data, start: int, end: int) -> None:
+    """Insert positions [start, end) into the LDM tables (vectorized)."""
+    end = min(end, len(data) - 32 + 1)
+    if end <= start:
+        return
+    hs = ldm_hash_positions(data, start, end)
+    pos = np.arange(start, end, dtype=np.int64)
+    # Most recent occurrence: duplicate fancy indices keep the last write.
+    ldm.last[hs] = pos
+    # First occurrence: only fill still-empty buckets, earliest in batch.
+    uniq, first_idx = np.unique(hs, return_index=True)
+    cand = pos[first_idx]
+    unset = ldm.first[uniq] < 0
+    ldm.first[uniq[unset]] = cand[unset]
+    ldm.filled_to = max(ldm.filled_to, end)
+
+
 def encode_offset(offset: int, ll: int, reps):
     """Map an actual offset to its offset_value given the repeat history,
     mirroring the decoder's rules (RFC 8878 §3.1.1.3.2.1.1); returns
@@ -142,11 +205,12 @@ def encode_offset(offset: int, ll: int, reps):
     return offset + 3, (offset, r1, r2)
 
 
-def find_sequences(window: bytes, start: int, end: int, params: MatchParams, state: MatchState, reps, max_dist: int = 1 << 31):
+def find_sequences(window: bytes, start: int, end: int, params: MatchParams, state: MatchState, reps, max_dist: int = 1 << 31, ldm: LdmState | None = None):
     """Greedy/lazy parse of window[start:end] (history = window[:start]).
 
     Returns (sequences, literals, new_reps). ``reps`` mirrors the decoder's
-    repeat-offset state entering the block.
+    repeat-offset state entering the block. With ``ldm``, long-distance
+    candidates from the 32-byte-window table compete with the chain hits.
     """
     seqs: list[Sequence] = []
     literals = bytearray()
@@ -205,6 +269,13 @@ def find_sequences(window: bytes, start: int, end: int, params: MatchParams, sta
                     best_len, best_off = l, p - c
             cand = chain[c]
             tries -= 1
+        if ldm is not None and best_len < 64 and limit >= LDM_MIN:
+            hl = _ldm_hash_one(data, p)
+            for c in (int(ldm.first[hl]), int(ldm.last[hl])):
+                if 0 <= c < p and p - c <= max_dist and data[p : p + 8] == data[c : c + 8]:
+                    l = match_len_at(p, c, limit)
+                    if l >= LDM_MIN and l > best_len:
+                        best_len, best_off = l, p - c
         if best_len < MIN_MATCH:
             return 0, 0
         # Cost gate: a short far match can cost more than its literals

@@ -165,7 +165,7 @@ class RawEncoder:
 
             self._frame = NativeFrameEncoder(
                 checksum=self.cctx.checksum, prefix=prefix,
-                level=self.cctx.level,
+                level=self.cctx.level, ldm=self.cctx.ldm,
             )
             self._frame_c_size = 0
             self._frame_d_size = 0
@@ -179,6 +179,7 @@ class RawEncoder:
             prefix=prefix,
             window_log=max(self.cctx.window_log, 0) or self._policy_window_log(),
             block_size=block_size,
+            enable_ldm=self.cctx.ldm,
         )
         self._frame_c_size = 0
         self._frame_d_size = 0

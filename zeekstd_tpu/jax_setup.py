@@ -30,10 +30,21 @@ def ensure_cache() -> None:
     cache_dir = os.environ.get("ZEEKSTD_JAX_CACHE_DIR")
     if cache_dir == "off":
         return
+    plat = (
+        os.environ.get("JAX_PLATFORM_NAME")
+        or os.environ.get("JAX_PLATFORMS")
+        or "dev"
+    )
+    if plat == "cpu" and not cache_dir:
+        # CPU compiles are fast and XLA:CPU AOT cache entries warn loudly
+        # about host-feature mismatches between processes; the cache only
+        # pays for itself on the accelerator path.
+        return
     if not cache_dir:
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache",
+            plat,
         )
     try:
         import jax

@@ -14,10 +14,11 @@ class NativeFrameEncoder:
     buffered amount (2 MiB by default).
     """
 
-    def __init__(self, checksum: bool = False, prefix: bytes = b"", level: int = 1):
+    def __init__(self, checksum: bool = False, prefix: bytes = b"", level: int = 1, ldm: bool = False):
         self.checksum = checksum
         self.prefix = prefix
         self.level = level
+        self.ldm = ldm
         self._buf = bytearray()
         self.block_max = 1 << 17
 
@@ -28,7 +29,7 @@ class NativeFrameEncoder:
     def finish(self) -> bytes:
         return loader.compress_frame(
             bytes(self._buf), checksum=self.checksum, prefix=self.prefix,
-            level=self.level,
+            level=self.level, ldm=self.ldm,
         )
 
     @property

@@ -68,6 +68,8 @@ def get_lib():
         ]
         lib.zn_set_mt_level.restype = None
         lib.zn_set_mt_level.argtypes = [ctypes.c_int]
+        lib.zn_set_ldm.restype = None
+        lib.zn_set_ldm.argtypes = [ctypes.c_int]
         lib.zn_compress_stream_mt.restype = ctypes.c_int64
         lib.zn_compress_stream_mt.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
@@ -93,14 +95,19 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     return lib.zn_xxh64(bytes(data), len(data), seed)
 
 
-def compress_frame(data: bytes, checksum: bool = False, prefix: bytes = b"", level: int = 1) -> bytes:
+def compress_frame(data: bytes, checksum: bool = False, prefix: bytes = b"", level: int = 1, ldm: bool = False) -> bytes:
     lib = get_lib()
     cap = len(data) + len(data) // 2 + 1024
     dst = ctypes.create_string_buffer(cap)
-    r = lib.zn_compress_frame(
-        bytes(data), len(data), dst, cap, level, int(checksum),
-        bytes(prefix) if prefix else None, len(prefix),
-    )
+    lib.zn_set_ldm(int(ldm))
+    try:
+        r = lib.zn_compress_frame(
+            bytes(data), len(data), dst, cap, level, int(checksum),
+            bytes(prefix) if prefix else None, len(prefix),
+        )
+    finally:
+        if ldm:
+            lib.zn_set_ldm(0)
     if r == ctypes.c_size_t(-1).value:
         raise RuntimeError("native compress failed")
     return dst.raw[:r]

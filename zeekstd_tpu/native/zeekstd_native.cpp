@@ -841,6 +841,36 @@ struct Matcher {
     u64 v = read64(p) * 0x9E3779B185EBCA87ULL ^ read64(p + 8) * 0xC2B2AE3D27D4EB4FULL;
     return (u32)((v * 0x2545F4914F6CDD1DULL) >> (64 - HASHLOG));
   }
+
+  // Long-distance matcher: 32-byte-window hashes over the whole window,
+  // keeping the first AND most recent position per bucket. The first
+  // reaches across an arbitrarily large patch prefix even after nearer
+  // data has overwritten the short-hash tables (libzstd's
+  // EnableLongDistanceMatching analog; driven by the CLI patch mode,
+  // reference cli/src/compress.rs:31-37).
+  static const int LDMLOG = 20;
+  static const u32 LDM_MIN = 32;
+  std::vector<i32> ldm_first, ldm_last;
+  bool ldm = false;
+  void enable_ldm() {
+    ldm = true;
+    ldm_first.assign(1 << LDMLOG, -1);
+    ldm_last.assign(1 << LDMLOG, -1);
+  }
+  static inline u32 hash32w(const u8* p) {
+    u64 v = read64(p) * 0x9E3779B185EBCA87ULL;
+    v = (v ^ (read64(p + 8) * 0xC2B2AE3D27D4EB4FULL)) * 0x2545F4914F6CDD1DULL;
+    v = (v ^ (read64(p + 16) * 0x165667B19E3779F9ULL)) * 0x2545F4914F6CDD1DULL;
+    v = (v ^ (read64(p + 24) * 0x27D4EB2F165667C5ULL)) * 0x2545F4914F6CDD1DULL;
+    return (u32)(v >> (64 - LDMLOG));
+  }
+  inline void ldm_insert(const u8* base, const u8* p, const u8* wend) {
+    if (!ldm || wend - p < 32) return;
+    u32 h = hash32w(p);
+    i32 cur = (i32)(p - base);
+    if (ldm_first[h] < 0) ldm_first[h] = cur;
+    ldm_last[h] = cur;
+  }
 };
 
 static inline u32 match_len(const u8* a, const u8* b, const u8* limit) {
@@ -892,6 +922,21 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
       read32(base + cand2) == read32(ip)) {
     u32 l = match_len(ip, base + cand2, mlimit);
     if (l > best_len) { best_len = l; best_off = (u32)(cur - cand2); }
+  }
+  if (M.ldm && best_len < 64 && mlimit - ip >= (ptrdiff_t)Matcher::LDM_MIN) {
+    u32 h3 = Matcher::hash32w(ip);
+    i32 lc[2] = {M.ldm_first[h3], M.ldm_last[h3]};
+    for (int t = 0; t < 2; t++) {
+      i32 c = lc[t];
+      if (c >= 0 && (size_t)c < cur && read64(base + c) == read64(ip)) {
+        u32 l = match_len(ip, base + c, mlimit);
+        if (l >= Matcher::LDM_MIN && l > best_len) {
+          best_len = l;
+          best_off = (u32)(cur - c);
+        }
+      }
+    }
+    M.ldm_insert(base, ip, mlimit);
   }
   *off_out = best_off;
   return best_len;
@@ -1283,6 +1328,9 @@ static void write_frame_header(std::vector<u8>& out, u64 content_size,
 
 static const size_t BLOCK_MAX = 1 << 17;
 
+static int g_ldm = 0;
+extern "C" void zn_set_ldm(int flag) { g_ldm = flag; }
+
 extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
                                     size_t cap, int level, int checksum,
                                     const u8* prefix, size_t prefix_n) {
@@ -1308,6 +1356,7 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
   int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : 0));
   if (depth) M.enable_chain(prefix_n + n);
   if (level >= 15) M.enable_bt(prefix_n + n, false);
+  if (g_ldm && level < 15) M.enable_ldm();
   if (prefix_n) {
     // Index the prefix so matches can reach into it.
     const u8* p = base;
@@ -1320,6 +1369,7 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
       if (depth) M.chain[po] = M.table[hp];
       M.table[hp] = (i32)po;
       if (hend - p >= 16) M.table2[Matcher::hash16(p)] = (i32)po;
+      M.ldm_insert(base, p, hend);
       if (!M.btree.empty()) {
         M.table3[Matcher::hash3(p)] = (i32)po;
         bt_insert_search(base, p, base + prefix_n, M, 24, dummy, false, 4096);

@@ -4,15 +4,20 @@ The host matcher (codec/match.py) walks hash chains position-by-position —
 inherently serial. The TPU formulation decomposes the parse into vector
 passes over the whole frame:
 
-1. **Candidates**: stable-argsort positions by hash; the previous element
-   inside a hash bucket is the nearest earlier occurrence — the same
-   candidate a 1-deep hash table would return, found for *all* positions
-   at once.
-2. **Match lengths**: vectorized 4-byte word compares up to a cap, with
-   mismatch refinement via XOR byte tests. Caps are healed in step 5.
+1. **Candidates**: stable-argsort positions by hash; the j-th previous
+   element inside a hash bucket is the j-th nearest earlier occurrence —
+   the same candidates a j-deep hash chain would return, found for *all*
+   positions at once.
+2. **Match lengths in sorted order**: word strips ``W_k[i] = words[order[i]
+   + k]`` are gathered ONCE per word offset k; the candidate's words are
+   then just the strip shifted by j rows, so every depth's match length is
+   computed from the same strips with cheap shifted compares. (The earlier
+   formulation gathered candidate words per depth per k inside a
+   ``fori_loop`` — two orders of magnitude slower on this hardware, where
+   XLA While bodies defeat fusion; everything here is unrolled.)
 3. **Greedy commit**: the greedy parse "jump to p + len" is a functional
    graph; reachability from position 0 (= the anchors the serial parse
-   would visit) is computed with O(log n) pointer-jumping passes.
+   would visit) is computed with O(log n) unrolled pointer-jumping passes.
 4. **Extraction**: literal/sequence streams come out via cumsum-based
    stream compaction — no sequential loop.
 5. **Chain merge**: a capped long match reappears at the next anchor with
@@ -32,16 +37,11 @@ import jax.numpy as jnp
 HASH_LOG = 16
 MIN_MATCH = 4
 MATCH_CAP = 64
-
-
-def _load32(data_i32, p):
-    """Gather the 4-byte little-endian word starting at byte p."""
-    return data_i32[p]
+CONT_WORDS = 4  # words compared past the cap for the merge tie-break
 
 
 def precompute_words(data_u8):
     """int32 word at every byte offset (padded at the tail)."""
-    n = data_u8.shape[0]
     a = data_u8.astype(jnp.int32)
 
     def sh(k):
@@ -54,7 +54,6 @@ def precompute_words(data_u8):
 def hash_positions_tpu(data_u8):
     """Per-position hash of 6 bytes using 32-bit arithmetic."""
     w = precompute_words(data_u8).astype(jnp.uint32)
-    n = data_u8.shape[0]
     a = data_u8.astype(jnp.uint32)
     z = jnp.zeros(6, jnp.uint32)
     b4 = jnp.concatenate([a[4:], z[:4]])
@@ -80,130 +79,133 @@ def hash_positions_long(data_u8, span: int = 16):
     return (h >> jnp.uint32(32 - HASH_LOG)).astype(jnp.int32)
 
 
-def nearest_earlier_candidates(h, k: int = 1):
-    """The k nearest earlier positions with the same hash (else -1).
+def _shift_down(a, j, fill):
+    """a shifted j rows toward higher indices (row i takes a[i-j])."""
+    return jnp.concatenate([jnp.full(j, fill, a.dtype), a[:-j]])
 
-    Stable argsort groups each bucket with ascending positions, so the
-    j-th previous element within the bucket is the j-th nearest earlier
-    occurrence — the parallel equivalent of walking a hash chain j deep.
-    Returns int32[n] for k == 1, else int32[k, n].
+
+def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid):
+    """Best candidate among the ``depths`` nearest earlier same-hash
+    positions, with vectorized match lengths.
+
+    Strips are gathered once (MATCH_CAP/4 + CONT_WORDS gathers total); each
+    depth j compares a strip against itself shifted by j rows — the sorted
+    order makes "candidate's words" a shift instead of a gather. Returns
+    (cand, mlen, cont) in position space.
     """
-    n = h.shape[0]
-    order = jnp.argsort(h, stable=True).astype(jnp.int32)
-    h_sorted = h[order]
-    outs = []
-    for j in range(1, k + 1):
-        prev_pos = jnp.concatenate(
-            [jnp.full(j, -1, jnp.int32), order[:-j]]
-        )
-        same = jnp.concatenate(
-            [jnp.zeros(j, bool), h_sorted[j:] == h_sorted[:-j]]
-        )
-        cand_sorted = jnp.where(same, prev_pos, -1)
-        outs.append(jnp.zeros(n, jnp.int32).at[order].set(cand_sorted))
-    if k == 1:
-        return outs[0]
-    return jnp.stack(outs)
-
-
-def match_lengths(data_u8, cand, block_size: int, n_valid=None):
-    """Vectorized match length (cap MATCH_CAP, truncated at block end and
-    at the valid-data boundary)."""
     n = data_u8.shape[0]
-    if n_valid is None:
-        n_valid = n
     words = precompute_words(data_u8)
-    p = jnp.arange(n, dtype=jnp.int32)
-    block_end = (p // block_size + 1) * block_size
-    limit = jnp.minimum(jnp.minimum(block_end, n_valid) - p, MATCH_CAP)
-    c = jnp.maximum(cand, 0)
+    order = jnp.argsort(h, stable=True).astype(jnp.int32)
+    h_s = h[order]
 
-    mlen = jnp.zeros_like(cand)  # zeros_like keeps shard_map varying axes
-    alive = cand >= 0
+    n_strips = MATCH_CAP // 4 + CONT_WORDS
+    strips = [words[jnp.minimum(order + 4 * k, n - 1)] for k in range(n_strips)]
 
-    def body(k, state):
-        mlen, alive = state
-        w1 = words[jnp.minimum(p + k, n - 1)]
-        w2 = words[jnp.minimum(c + k, n - 1)]
-        diff = (w1 ^ w2).astype(jnp.uint32)
-        full = jnp.logical_and(alive, diff == 0)
-        # Byte-level refinement of the first mismatching word.
-        b0 = (diff & 0xFF) == 0
-        b1 = (diff & 0xFFFF) == 0
-        b2 = (diff & 0xFFFFFF) == 0
-        partial = (
-            b0.astype(jnp.int32) + b1.astype(jnp.int32) + b2.astype(jnp.int32)
+    # Per-row (sorted order) match-length limit at the owning position.
+    block_end = (order // block_size + 1) * block_size
+    limit = jnp.minimum(jnp.minimum(block_end, n_valid) - order, MATCH_CAP)
+
+    best_cand = jnp.full(n, -1, jnp.int32)
+    best_mlen = jnp.zeros(n, jnp.int32)
+    best_cont = jnp.zeros(n, jnp.int32)
+    for j in range(1, depths + 1):
+        same = jnp.concatenate(
+            [jnp.zeros(j, bool), h_s[j:] == h_s[:-j]]
         )
-        add = jnp.where(full, 4, jnp.where(alive, partial, 0))
-        mlen = mlen + add
-        return mlen, jnp.logical_and(alive, full)
+        cand = jnp.where(same, _shift_down(order, j, 0), -1)
+        # Unrolled word compares: byte-refined first mismatching word.
+        mlen = jnp.zeros(n, jnp.int32)
+        alive = same
+        for k in range(MATCH_CAP // 4):
+            diff = (strips[k] ^ _shift_down(strips[k], j, -1)).astype(jnp.uint32)
+            full = jnp.logical_and(alive, diff == 0)
+            partial = (
+                ((diff & 0xFF) == 0).astype(jnp.int32)
+                + ((diff & 0xFFFF) == 0).astype(jnp.int32)
+                + ((diff & 0xFFFFFF) == 0).astype(jnp.int32)
+            )
+            mlen = mlen + jnp.where(full, 4, jnp.where(alive, partial, 0))
+            alive = full
+        cont = jnp.zeros(n, jnp.int32)
+        for k in range(MATCH_CAP // 4, n_strips):
+            cont = cont + (
+                strips[k] == _shift_down(strips[k], j, -1)
+            ).astype(jnp.int32)
+        mlen = jnp.where(same, jnp.minimum(mlen, limit), 0)
+        cont = jnp.where(same, cont, 0)
+        better = jnp.logical_or(
+            mlen > best_mlen,
+            jnp.logical_and(mlen == best_mlen, cont > best_cont),
+        )
+        best_cand = jnp.where(better, cand, best_cand)
+        best_mlen = jnp.where(better, mlen, best_mlen)
+        best_cont = jnp.where(better, cont, best_cont)
 
-    mlen, _ = jax.lax.fori_loop(0, MATCH_CAP // 4, lambda i, s: body(i * 4, s), (mlen, alive))
-    # Continuation score: words agreeing just past the cap. Used to break
-    # ties between capped candidates — the one that keeps matching is the
-    # true long/periodic match and keeps the merge chain intact.
-    cont = jnp.zeros_like(mlen)
-    for k in (MATCH_CAP, MATCH_CAP + 4, MATCH_CAP + 8, MATCH_CAP + 12):
-        w1 = words[jnp.minimum(p + k, n - 1)]
-        w2 = words[jnp.minimum(c + k, n - 1)]
-        cont = cont + (w1 == w2).astype(jnp.int32)
-    mlen = jnp.minimum(mlen, limit)
-    valid = cand >= 0
-    return jnp.where(valid, mlen, 0), jnp.where(valid, cont, 0)
+    # Back to position space.
+    out_c = jnp.full(n, -1, jnp.int32).at[order].set(best_cand)
+    out_m = jnp.zeros(n, jnp.int32).at[order].set(best_mlen)
+    out_k = jnp.zeros(n, jnp.int32).at[order].set(best_cont)
+    return out_c, out_m, out_k
 
 
 def greedy_reachability(step, n: int):
     """Anchor mask: positions visited by the serial greedy parse
     (pointer-jumping transitive closure from position 0). Uses an explicit
     sink node at index n so a match ending exactly at the frame end does
-    not falsely mark the final byte."""
+    not falsely mark the final byte. Unrolled: While-loop bodies lower
+    poorly on this hardware."""
     p = jnp.arange(n, dtype=jnp.int32)
     f = jnp.concatenate([jnp.minimum(p + step, n), jnp.full(1, n, jnp.int32)])
     # Derive from f so the carry keeps shard_map's varying manual axes.
     reach = (f * 0).at[0].set(1)
     n_doublings = max((n - 1).bit_length(), 1)
-
-    def body(_, state):
-        reach, f = state
+    for _ in range(n_doublings):
         reach = reach.at[f].max(reach)
-        return reach, f[f]
-
-    reach, _ = jax.lax.fori_loop(0, n_doublings, body, (reach, f))
+        f = f[f]
     return reach[:n].astype(bool)
 
 
-def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None):
+def level_depths(level: int):
+    """TPU level knob: (short-chain depth, long-chain depth) — the parallel
+    analog of libzstd's per-level search depth (reference level range:
+    cli/src/args.rs:191-193)."""
+    if level <= 1:
+        return 1, 1
+    if level <= 4:
+        return 2, 3
+    return 4, 6
+
+
+def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: int = 3):
     """Full parallel parse of one frame.
 
     Returns (lls, mls, offs int32[seq_bound]; n_seq; literals uint8[N];
-    n_lit) — offsets are actual distances (no repeat codes); sequences are
-    already merged across capped continuations; trailing literals are the
-    final ll with ml=0 handled by the caller via n_lit accounting.
+    n_lit) — offsets are actual distances (repeat-offset coding is applied
+    by the consumers via ``rep1_offset_values``); sequences are already
+    merged across capped continuations; trailing literals are the final ll
+    with ml=0 handled by the caller via n_lit accounting.
     """
     n = data_u8.shape[0]
     if n_valid is None:
         n_valid = n
     p = jnp.arange(n, dtype=jnp.int32)
 
-    # Candidate set: 3-deep short-hash chain + the 16-byte long-hash table.
-    # Selection maximizes (length, continuation-past-cap), nearest first on
-    # exact ties — the parallel analog of a depth-4 chain search.
+    # Candidate set: level-scaled short-hash chain + 16-byte long-hash
+    # chain. Selection maximizes (length, continuation-past-cap), nearest
+    # first on exact ties — the parallel analog of a deep chain search.
+    ds, dl = level_depths(level)
     h = hash_positions_tpu(data_u8)
-    cands_s = nearest_earlier_candidates(h, k=2)
+    cand, mlen, cont = sorted_hash_matches(data_u8, h, ds, block_size, n_valid)
     h_l = hash_positions_long(data_u8)
-    cands_l = nearest_earlier_candidates(h_l, k=3)
-
-    cand, (mlen, cont) = cands_s[0], match_lengths(
-        data_u8, cands_s[0], block_size, n_valid
+    cand_l, mlen_l, cont_l = sorted_hash_matches(
+        data_u8, h_l, dl, block_size, n_valid
     )
-    for extra in (cands_s[1], cands_l[0], cands_l[1], cands_l[2]):
-        m2, c2 = match_lengths(data_u8, extra, block_size, n_valid)
-        better = jnp.logical_or(
-            m2 > mlen, jnp.logical_and(m2 == mlen, c2 > cont)
-        )
-        cand = jnp.where(better, extra, cand)
-        mlen = jnp.where(better, m2, mlen)
-        cont = jnp.where(better, c2, cont)
+    better = jnp.logical_or(
+        mlen_l > mlen, jnp.logical_and(mlen_l == mlen, cont_l > cont)
+    )
+    cand = jnp.where(better, cand_l, cand)
+    mlen = jnp.where(better, mlen_l, mlen)
+    cont = jnp.where(better, cont_l, cont)
     off = p - jnp.maximum(cand, 0)
 
     # Cost gate mirroring the host heuristic (match.py best_match).
@@ -280,4 +282,28 @@ def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None):
     return lls, mls, offs, n_seq, literals, n_lit, n_seq_raw
 
 
-parse_frame_jit = jax.jit(parse_frame, static_argnames=("block_size", "seq_bound"))
+def rep1_offset_values(lls_written, mls, offs, n_seq, block_size: int, seq_bound: int):
+    """Offset VALUES with repeat-offset coding: sequence i emits rep code 1
+    (ofv = 1) when its offset equals the previous sequence's offset, its
+    written literal length is nonzero, and both matches start in the same
+    block. Restricting to same-block rep1 keeps per-block fresh-history
+    decoding exact and is immune to raw-block fallbacks (a skipped block
+    never breaks the chain the code relies on). Everything else emits the
+    actual offset + 3 (RFC 8878 §3.1.1.3.2.1.1)."""
+    sidx = jnp.arange(seq_bound, dtype=jnp.int32)
+    out_len = lls_written + mls
+    starts = jnp.cumsum(out_len) - out_len
+    mstart = starts + lls_written
+    prev_off = jnp.roll(offs, 1)
+    prev_m = jnp.roll(mstart, 1)
+    same_block = (mstart // block_size) == (prev_m // block_size)
+    is_rep = jnp.logical_and(
+        jnp.logical_and(sidx > 0, sidx < n_seq),
+        jnp.logical_and(
+            jnp.logical_and(offs == prev_off, lls_written > 0), same_block
+        ),
+    )
+    return jnp.where(is_rep, 1, offs + 3)
+
+
+parse_frame_jit = jax.jit(parse_frame, static_argnames=("block_size", "seq_bound", "level"))

@@ -58,15 +58,14 @@ def build_sequence_layout(lls, mls, offs, out_bound: int):
 def resolve_copy_chains(src, n_doublings: int | None = None):
     """Pointer-double ``src`` until every position maps to a literal
     (a fixed point). ceil(log2(out_bound)) passes always suffice because a
-    copy chain can step back at most out_bound times."""
+    copy chain can step back at most out_bound times. Unrolled — a
+    fori_loop body with a gather lowers ~100x slower on this hardware."""
     out_bound = src.shape[0]
     if n_doublings is None:
         n_doublings = max((out_bound - 1).bit_length(), 1)
-
-    def body(_, s):
-        return s[s]
-
-    return jax.lax.fori_loop(0, n_doublings, body, src)
+    for _ in range(n_doublings):
+        src = src[src]
+    return src
 
 
 def execute_sequences_tpu(literals, lls, mls, offs, out_bound: int):

@@ -13,6 +13,8 @@ from .pipeline import (
     parallel_compress,
     parallel_decompress,
     parallel_parse_step,
+    parallel_random_access,
+    route_queries,
 )
 
 __all__ = [
@@ -20,4 +22,6 @@ __all__ = [
     "parallel_compress",
     "parallel_decompress",
     "parallel_parse_step",
+    "parallel_random_access",
+    "route_queries",
 ]

@@ -1,19 +1,32 @@
-"""Mesh-parallel frame pipeline: shard frames, parse/encode per chip,
-gather ordered seek-table entries.
+"""Mesh-parallel frame pipeline: shard frames, encode/decode per chip,
+all-gather the seek-table entries and archive bytes.
 
 Layout: input of N bytes is cut into F frames of ``frame_size`` (the
 seekable frame policy), padded to a multiple of the mesh size, and laid
 out as a (F, frame_size) uint8 array sharded on the frame axis
-(PartitionSpec("data", None)). Each device runs the vmapped
-``parse_and_code`` kernel over its local frames; per-frame match/literal
-statistics are all-gathered over the mesh so every participant can build
-the ordered seek table (the analog of the reference's sequential
-seek-table logging, lib/src/encode.rs:466-467, made collective).
+(PartitionSpec("data", None)) — contiguous blocks of frames per device.
 
-On a single host the compressed byte assembly pulls the (already sharded)
-parse results to the host; on a multi-host pod the same program runs with
-a DCN-spanning mesh and assembly happens on host 0 from the gathered
-arrays.
+Compression runs the same four-dispatch pipeline as ``tpu_archive`` but
+with every dispatch wrapped in ``shard_map``: each device parses, entropy-
+codes, and byte-assembles ITS OWN frames; the per-frame (c_size, d_size)
+seek-table entries and the padded frame bytes are then **all-gathered over
+the mesh**, and the seek table is built exclusively from the gathered
+entries array — the collective replacement for the reference's sequential
+``log_frame`` writer (lib/src/encode.rs:466-467, 743-775). On a multi-host
+pod the same program runs over a DCN-spanning mesh; each process stages
+its addressable shard and the gather is what moves remote entries/bytes to
+every host.
+
+Decompression shards frames the same way: every device runs the fused
+Huffman + FSE + sequence-execution program for its local frames in one
+dispatch; outputs stay sharded (each host reads its addressable rows).
+Foreign frames that thread repeat-offset history across blocks fall back
+to the single-device batched decoder (our encoder never emits them).
+
+Random access routes (offset, limit) queries to owning frames/devices via
+the replicated seek table (``route_queries``), decodes only the touched
+frames — sharded by owner, one fused dispatch — and slices results on the
+host.
 """
 
 from __future__ import annotations
@@ -34,6 +47,13 @@ def _jax():
     return jax, jnp
 
 
+_sh_fns = {}
+
+
+def _mesh_key(mesh):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
 def make_mesh(devices=None, axis: str = "data"):
     """1-D device mesh over the frame axis."""
     jax, _ = _jax()
@@ -51,44 +71,137 @@ def _frame_layout(n: int, frame_size: int, n_devices: int):
 
 
 def parallel_parse_step(mesh, frame_size: int, seq_bound: int):
-    """Build the jitted, mesh-sharded parse step.
-
-    Returns ``step(frames, lengths)`` where frames is uint8[F, frame_size]
-    sharded on the frame axis; outputs are the per-frame parse results
-    (sharded) plus the all-gathered per-frame matched-byte counts
-    (replicated) — the collective seek-table statistic.
-    """
+    """Jitted, mesh-sharded parse+stats step (dispatch 1 of the sharded
+    compressor): ``step(frames, lengths)`` with frames uint8[F, frame_size]
+    sharded on the frame axis. Outputs are the per-frame parse arrays and
+    per-block statistics, all sharded on the same axis."""
     jax, jnp = _jax()
     from jax.sharding import PartitionSpec as P
 
-    from ..tpu_codec import parse_and_code
+    from ..tpu_archive import BLOCK_SIZE, _parse_stats_one_frame
 
+    key = ("parse", _mesh_key(mesh), frame_size, seq_bound)
+    if key in _sh_fns:
+        return _sh_fns[key]
+    B = -(-frame_size // BLOCK_SIZE)
+    one_frame = _parse_stats_one_frame(frame_size, seq_bound, B)
     axis = mesh.axis_names[0]
 
     def per_device(frames, lengths):
-        # frames: [local_F, frame_size]; vmap the per-frame kernel.
-        results = jax.vmap(
-            lambda f, l: parse_and_code(f, l, seq_bound)
-        )(frames, lengths)
-        lls, mls, ovs, n_seq, lits, n_lit, llc, mlc, ofc, n_seq_raw = results
-        # Collective: ordered all-gather of per-frame stats so every
-        # participant can derive identical seek-table entries.
-        matched = jnp.sum(mls, axis=1)
-        gathered = jax.lax.all_gather(matched, axis, tiled=True)
-        return lls, mls, ovs, n_seq, lits, n_lit, llc, mlc, ofc, n_seq_raw, gathered
+        return jax.vmap(one_frame)(frames, lengths)
 
     spec_in = (P(axis, None), P(axis))
-    spec_out = (
-        P(axis, None), P(axis, None), P(axis, None), P(axis),
-        P(axis, None), P(axis),
-        P(axis, None), P(axis, None), P(axis, None), P(axis),
-        P(None),
+    n_outputs = 18
+    spec_out = tuple(
+        P(axis) if i in (7, 8, 9) else P(axis, None) for i in range(n_outputs)
     )
     fn = jax.shard_map(
         per_device, mesh=mesh, in_specs=spec_in, out_specs=spec_out,
         check_vma=False,
     )
-    return jax.jit(fn)
+    _sh_fns[key] = jax.jit(fn)
+    return _sh_fns[key]
+
+
+def _sharded_encode_fn(mesh, SB, fse_wb, seg_bound, huf_wb, shapes):
+    """Dispatch 2+3 fused and sharded: per-device FSE + Huffman encoding of
+    the local job batches. Returns per-job (words, bits), sharded."""
+    jax, jnp = _jax()
+    from jax.sharding import PartitionSpec as P
+
+    from ..tpu_archive import _fse_one_block, _huf_one_stream
+
+    key = ("enc", _mesh_key(mesh), SB, fse_wb, seg_bound, huf_wb)
+    if key in _sh_fns:
+        return _sh_fns[key]
+    axis = mesh.axis_names[0]
+    fse_block = _fse_one_block(SB, fse_wb)
+    huf_stream = _huf_one_stream(seg_bound, huf_wb)
+
+    def per_device(adj_ll, mls, ovs, llc, mlc, ofc, lits, fse_in, huf_in):
+        fw, fb = jax.vmap(
+            lambda j: fse_block(
+                adj_ll[j["fidx"]], mls[j["fidx"]], ovs[j["fidx"]],
+                llc[j["fidx"]], mlc[j["fidx"]], ofc[j["fidx"]],
+                j["first"], j["nseq"],
+                j["ll_dn"], j["ll_df"], j["ll_st"],
+                j["ml_dn"], j["ml_df"], j["ml_st"],
+                j["of_dn"], j["of_df"], j["of_st"],
+                j["llog"], j["mlog"], j["olog"],
+            )
+        )(fse_in)
+        hw, hb = jax.vmap(
+            lambda j: huf_stream(
+                lits[j["fidx"]], j["starts"], j["ns"], j["codes"], j["nbs"]
+            )
+        )(huf_in)
+        return fw, fb, hw, hb
+
+    spec_frames = P(axis, None)
+    spec_jobs_scalar = P(axis)
+    spec_jobs_vec = P(axis, None)
+    fse_spec = {
+        k: (spec_jobs_vec if k.endswith(("_dn", "_df", "_st")) else spec_jobs_scalar)
+        for k in (
+            "fidx", "first", "nseq", "ll_dn", "ll_df", "ll_st", "ml_dn",
+            "ml_df", "ml_st", "of_dn", "of_df", "of_st", "llog", "mlog", "olog",
+        )
+    }
+    huf_spec = {
+        "fidx": spec_jobs_scalar, "starts": spec_jobs_scalar,
+        "ns": spec_jobs_scalar, "codes": spec_jobs_vec, "nbs": spec_jobs_vec,
+    }
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(spec_frames,) * 7 + (fse_spec, huf_spec),
+        out_specs=(P(axis, None), P(axis), P(axis, None), P(axis)),
+        check_vma=False,
+    )
+    _sh_fns[key] = jax.jit(fn)
+    return _sh_fns[key]
+
+
+def _sharded_assemble_fn(mesh, shapes):
+    """Dispatch 4 sharded + the load-bearing collectives: each device
+    assembles its frames' bytes, then all-gathers (rows, entries) so every
+    participant holds the full ordered archive and seek-table entries."""
+    jax, jnp = _jax()
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.assemble import assemble_archive, finalize_streams
+
+    key = ("asm", _mesh_key(mesh), shapes)
+    if key in _sh_fns:
+        return _sh_fns[key]
+    axis = mesh.axis_names[0]
+
+    def per_device(idx_map, static_pool, fse_w, fse_b, huf_w, huf_b, lits,
+                   frames, entries):
+        fse_bytes = finalize_streams(fse_w, fse_b)
+        huf_bytes = finalize_streams(huf_w, huf_b)
+        rows = assemble_archive(
+            idx_map, static_pool.reshape(-1), fse_bytes, huf_bytes, lits, frames
+        )
+        rows_all = jax.lax.all_gather(rows, axis, tiled=True)
+        entries_all = jax.lax.all_gather(entries, axis, tiled=True)
+        return rows_all, entries_all
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis, None),  # idx_map, static (D, S)
+            P(axis, None), P(axis),        # fse words/bits
+            P(axis, None), P(axis),        # huf words/bits
+            P(axis, None), P(axis, None),  # lits, frames
+            P(axis, None),                 # entries (F, 2)
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    _sh_fns[key] = jax.jit(fn)
+    return _sh_fns[key]
 
 
 def parallel_compress(
@@ -97,69 +210,587 @@ def parallel_compress(
     frame_size: int = DEFAULT_FRAME_SIZE,
     checksum: bool = False,
 ):
-    """Data-parallel seekable compression: returns (archive_frames_bytes,
-    SeekTable). Frames are compressed independently per chip and
-    concatenated in order; append ``seek_table.to_bytes()`` for a Foot
-    archive."""
+    """Data-parallel seekable compression over the mesh. Returns
+    (archive_frames_bytes, SeekTable) where the SeekTable is built from the
+    all-gathered per-frame entry array (never from host-local sizes)."""
     jax, jnp = _jax()
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..tpu_codec import assemble_frame
+    from ..tpu_archive import (
+        BLOCK_SIZE,
+        _fse_inputs,
+        _host_jobs,
+        _huf_inputs,
+        _layout_archive,
+    )
 
     if mesh is None:
         mesh = make_mesh()
-    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
     n = len(data)
-    n_frames, padded_frames = _frame_layout(n, frame_size, n_dev)
+    n_frames, F_pad = _frame_layout(n, frame_size, D)
+    F_loc = F_pad // D
 
-    frames = np.zeros((padded_frames, frame_size), np.uint8)
-    lengths = np.zeros(padded_frames, np.int32)
+    frames = np.zeros((F_pad, frame_size), np.uint8)
+    lengths = np.zeros(F_pad, np.int32)
     for i in range(n_frames):
         chunk = data[i * frame_size : (i + 1) * frame_size]
         frames[i, : len(chunk)] = np.frombuffer(chunk, np.uint8)
         lengths[i] = len(chunk)
 
     seq_bound = min(1 << 18, max(2048, frame_size // 8))
-    step = parallel_parse_step(mesh, frame_size, seq_bound)
+    B = -(-frame_size // BLOCK_SIZE)
 
-    axis = mesh.axis_names[0]
-    sh = NamedSharding(mesh, P(axis, None))
+    sh2 = NamedSharding(mesh, P(axis, None))
     sh1 = NamedSharding(mesh, P(axis))
-    frames_d = jax.device_put(jnp.asarray(frames), sh)
+    frames_d = jax.device_put(jnp.asarray(frames), sh2)
     lengths_d = jax.device_put(jnp.asarray(lengths), sh1)
 
+    # --- dispatch 1 (sharded): parse + stats ------------------------------
+    step = parallel_parse_step(mesh, frame_size, seq_bound)
     out = step(frames_d, lengths_d)
-    (lls, mls, ovs, n_seq, lits, n_lit, llc, mlc, ofc, n_seq_raw, gathered) = out
-    n_seq_raw = np.asarray(n_seq_raw)
+    (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d,
+     n_seq, n_lit, n_raw,
+     seq_cnt, first_idx, ml_sum, litcnt,
+     ll_hist, ml_hist, of_hist, lit_hist) = out
 
-    # Ordered assembly on the host (frame order == shard order).
+    n_raw_np = np.asarray(n_raw)
+    seq_cnt_np = np.asarray(seq_cnt)
+    first_np = np.asarray(first_idx)
+    litcnt_np = np.asarray(litcnt)
+    ll_h = np.asarray(ll_hist)
+    ml_h = np.asarray(ml_hist)
+    of_h = np.asarray(of_hist)
+    lit_h = np.asarray(lit_hist)
+    overflow = n_raw_np > seq_bound
+
+    # --- host: per-device job batches (common padded shapes) --------------
+    dev_jobs = []
+    for d in range(D):
+        lo, hi = d * F_loc, (d + 1) * F_loc
+        blocks, huf_jobs, fse_jobs = _host_jobs(
+            F_loc, lengths[lo:hi], overflow[lo:hi],
+            seq_cnt_np[lo:hi], first_np[lo:hi], litcnt_np[lo:hi],
+            ll_h[lo:hi], ml_h[lo:hi], of_h[lo:hi], lit_h[lo:hi],
+        )
+        dev_jobs.append((blocks, huf_jobs, fse_jobs))
+
+    SB = 1
+    for _b, _h, fj in dev_jobs:
+        if fj:
+            SB = max(SB, max(d["nseq"] for d in fj))
+    SB = min(1 << max((SB - 1).bit_length(), 1), seq_bound)
+    NBp = max(
+        1 << max((max(len(fj) for _b, _h, fj in dev_jobs) - 1).bit_length(), 2), 4
+    )
+    seg = 1
+    for _b, hj, _f in dev_jobs:
+        if hj:
+            seg = max(seg, max(j[2] for j in hj))
+    seg_bound = 1 << max((seg - 1).bit_length(), 4)
+    NJp = max(
+        1 << max((max(len(hj) for _b, hj, _f in dev_jobs) - 1).bit_length(), 2), 4
+    )
+
+    fse_stacks, huf_stacks = [], []
+    fse_wb = huf_wb = None
+    for blocks, huf_jobs, fse_jobs in dev_jobs:
+        if fse_jobs:
+            fin, _SB, fse_wb = _fse_inputs(fse_jobs, seq_bound, SB=SB, pad_to=NBp)
+        else:
+            fin = {
+                k: np.zeros(
+                    (NBp, 64) if k.endswith(("_dn", "_df")) else
+                    (NBp, 512) if k.endswith("_st") else (NBp,),
+                    np.int32,
+                )
+                for k in (
+                    "fidx", "first", "nseq", "ll_dn", "ll_df", "ll_st",
+                    "ml_dn", "ml_df", "ml_st", "of_dn", "of_df", "of_st",
+                    "llog", "mlog", "olog",
+                )
+            }
+            fin["of_st"] = np.zeros((NBp, 256), np.int32)
+            fin["nseq"][:] = 1
+            fse_wb = fse_wb or ((SB * 64) // 32 + 16)
+        fse_stacks.append(fin)
+        if huf_jobs:
+            hin, _sb, huf_wb = _huf_inputs(huf_jobs, seg_bound=seg_bound, pad_to=NJp)
+        else:
+            hin = {
+                "fidx": np.zeros(NJp, np.int32),
+                "starts": np.zeros(NJp, np.int32),
+                "ns": np.ones(NJp, np.int32),
+                "codes": np.zeros((NJp, 256), np.uint32),
+                "nbs": np.zeros((NJp, 256), np.int32),
+            }
+            huf_wb = huf_wb or ((seg_bound * 12) // 32 + 8)
+        huf_stacks.append(hin)
+    if fse_wb is None:
+        fse_wb = (SB * 64) // 32 + 16
+    if huf_wb is None:
+        huf_wb = (seg_bound * 12) // 32 + 8
+
+    def stack(dicts):
+        return {
+            k: np.concatenate([dd[k] for dd in dicts], axis=0) for k in dicts[0]
+        }
+
+    fse_in = {k: jax.device_put(jnp.asarray(v), sh2 if v.ndim == 2 else sh1)
+              for k, v in stack(fse_stacks).items()}
+    huf_in = {k: jax.device_put(jnp.asarray(v), sh2 if v.ndim == 2 else sh1)
+              for k, v in stack(huf_stacks).items()}
+
+    # --- dispatch 2+3 (sharded): entropy streams --------------------------
+    enc = _sharded_encode_fn(mesh, SB, fse_wb, seg_bound, huf_wb, None)
+    fse_w, fse_b, huf_w, huf_b = enc(
+        adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, fse_in, huf_in
+    )
+    fse_b_np = np.asarray(fse_b).reshape(D, NBp)
+    huf_b_np = np.asarray(huf_b).reshape(D, NJp)
+
+    # --- host: per-device byte-exact layout (common bounds) ---------------
+    idx_maps, statics, entries = [], [], []
+    frame_bound = 128
+    layouts = []
+    for d in range(D):
+        blocks, huf_jobs, fse_jobs = dev_jobs[d]
+        lo = d * F_loc
+        datas = [
+            data[(lo + f) * frame_size : (lo + f) * frame_size + int(lengths[lo + f])]
+            for f in range(F_loc)
+        ]
+        idx_map, static_pool, c_sizes, d_sizes = _layout_archive(
+            datas, blocks, overflow[lo : lo + F_loc], fse_b_np[d], huf_b_np[d],
+            (NBp, fse_wb * 4), (NJp, huf_wb * 4),
+            (F_loc, lits_d.shape[1]), (F_loc, frame_size), checksum,
+        )
+        layouts.append((idx_map, static_pool, c_sizes, d_sizes))
+        frame_bound = max(frame_bound, idx_map.shape[1])
+    static_bound = max(l[1].shape[0] for l in layouts)
+    for d in range(D):
+        idx_map, static_pool, c_sizes, d_sizes = layouts[d]
+        if idx_map.shape[1] < frame_bound or static_pool.shape[0] < static_bound:
+            # Rebuild at the common bounds (index maps embed the static
+            # pool size, so padding must happen before map construction).
+            blocks, huf_jobs, fse_jobs = dev_jobs[d]
+            lo = d * F_loc
+            datas = [
+                data[(lo + f) * frame_size : (lo + f) * frame_size + int(lengths[lo + f])]
+                for f in range(F_loc)
+            ]
+            # pad the static blob inside the plan by rebuilding with bound
+            idx_map, static_pool, c_sizes, d_sizes = _layout_archive(
+                datas, blocks, overflow[lo : lo + F_loc], fse_b_np[d], huf_b_np[d],
+                (NBp, fse_wb * 4), (NJp, huf_wb * 4),
+                (F_loc, lits_d.shape[1]), (F_loc, frame_size), checksum,
+                frame_bound=frame_bound,
+            )
+            if static_pool.shape[0] < static_bound:
+                pad = np.zeros(static_bound, np.uint8)
+                pad[: static_pool.shape[0]] = static_pool
+                # indices into pools AFTER static shift by the pad delta
+                delta = static_bound - static_pool.shape[0]
+                idx_map = np.where(
+                    idx_map >= static_pool.shape[0], idx_map + delta, idx_map
+                )
+                static_pool = pad
+        idx_maps.append(idx_map)
+        statics.append(static_pool)
+        entries.append(
+            np.stack([c_sizes.astype(np.int64),
+                      np.asarray(d_sizes, np.int64)], axis=1)
+        )
+
+    idx_all = jax.device_put(jnp.asarray(np.concatenate(idx_maps, axis=0)), sh2)
+    static_all = jax.device_put(jnp.asarray(np.stack(statics)), sh2)
+    entries_all_in = jax.device_put(
+        jnp.asarray(np.concatenate(entries, axis=0).astype(np.int32)), sh2
+    )
+
+    # --- dispatch 4 (sharded): assemble + all_gather ----------------------
+    asm = _sharded_assemble_fn(mesh, None)
+    rows_all, entries_all = asm(
+        idx_all, static_all, fse_w, fse_b, huf_w, huf_b, lits_d, frames_d,
+        entries_all_in,
+    )
+
+    # --- every host: seek table FROM the gathered entries -----------------
+    entries_np = np.asarray(entries_all)  # (F_pad, 2) replicated
+    rows_np = np.asarray(rows_all)
     st = SeekTable()
     blob = bytearray()
-    for i in range(n_frames):
-        fdata = bytes(frames[i, : lengths[i]])
-        if int(n_seq_raw[i]) > seq_bound:
-            # Overflowed parse: host fallback keeps output correct.
-            from ..codec.compress import compress_frame
-
-            fbytes = compress_frame(fdata, level=1, checksum=checksum)
-        else:
-            res = (
-                lls[i], mls[i], ovs[i], n_seq[i], lits[i], n_lit[i],
-                llc[i], mlc[i], ofc[i],
-            )
-            fbytes = assemble_frame(fdata, res, checksum)
-        st.log_frame(len(fbytes), len(fdata))
-        blob += fbytes
+    for f in range(n_frames):
+        c, dsz = int(entries_np[f, 0]), int(entries_np[f, 1])
+        st.log_frame(c, dsz)
+        blob += rows_np[f, :c].tobytes()
     return bytes(blob), st
 
 
-def parallel_decompress(archive: bytes, seek_table: SeekTable, mesh=None):
-    """Data-parallel frame decode: all frames' entropy streams and sequence
-    executions batch into three device dispatches (tpu_archive's batched
-    decoder); frame independence is what makes the batch dimension free."""
-    from ..tpu_archive import tpu_decompress_archive
+def _sharded_decode_fn(mesh, shapes_key, out_bound):
+    """One fused sharded dispatch: per-device Huffman decode + FSE decode +
+    literal/triple assembly + sequence execution for the local frames.
+    Output rows stay sharded on the frame axis."""
+    jax, jnp = _jax()
+    from jax.sharding import PartitionSpec as P
 
-    return tpu_decompress_archive(archive, seek_table)
+    from ..codec import sequences as seq_mod
+    from ..ops.entropy import fse_decode_sequences
+    from ..ops.huffman_spec import decode_stream_spec
+    from ..ops.seq_exec import execute_sequences_batch
+
+    key = ("dec", _mesh_key(mesh), shapes_key, out_bound)
+    if key in _sh_fns:
+        return _sh_fns[key]
+    axis = mesh.axis_names[0]
+    (J, huf_word_bound, huf_out_bound, NB, fse_word_bound, dec_seq_bound,
+     F_loc, S, L, static_len, n_consts) = shapes_key
+
+    def per_device(hw, hstart, hsym, hnb, hmb,
+                   fw, fstart, fnseq, dls, dln, dlb, dos, don, dob, dms, dmn,
+                   dmb, logs,
+                   map_seq, lit_map, static_lits, chunk_v, c_ll, c_ml, c_of):
+        dec = jax.vmap(
+            lambda w, s, sym, nb, mb: decode_stream_spec(
+                w, s, huf_out_bound, sym, nb, mb
+            )[0]
+        )(hw, hstart, hsym, hnb, hmb)
+
+        ll_code_base = jnp.asarray(seq_mod.LL_BASE.astype(np.int32))
+        ll_code_bits = jnp.asarray(seq_mod.LL_BITS.astype(np.int32))
+        ml_code_base = jnp.asarray(seq_mod.ML_BASE.astype(np.int32))
+        ml_code_bits = jnp.asarray(seq_mod.ML_BITS.astype(np.int32))
+        lls_b, mls_b, offs_b, _ofvs, _reps = jax.vmap(
+            lambda w, s, n, a, b, c, d, e, f, g, h, i, lg: fse_decode_sequences(
+                w, s, dec_seq_bound, n, a, b, c, d, e, f, g, h, i,
+                lg[0], lg[1], lg[2],
+                ll_code_base, ll_code_bits, ml_code_base, ml_code_bits,
+            )
+        )(fw, fstart, fnseq, dls, dln, dlb, dos, don, dob, dms, dmn, dmb, logs)
+
+        k = jnp.arange(dec_seq_bound, dtype=jnp.int32)[None, :]
+        mask = k < fnseq[:, None]
+        used = jnp.sum(jnp.where(mask, lls_b, 0), axis=1)
+        trail = chunk_v - used
+        zero_t = jnp.zeros_like(trail)
+        ll_pool = jnp.concatenate([lls_b.reshape(-1), trail, c_ll.reshape(-1)])
+        ml_pool = jnp.concatenate([mls_b.reshape(-1), zero_t, c_ml.reshape(-1)])
+        of_pool = jnp.concatenate([offs_b.reshape(-1), zero_t + 1, c_of.reshape(-1)])
+        lls = ll_pool[map_seq]
+        mls = ml_pool[map_seq]
+        offs = of_pool[map_seq]
+        lit_flat = jnp.concatenate([static_lits.reshape(-1), dec.reshape(-1)])
+        lits = lit_flat[lit_map].astype(jnp.uint8)
+        out = execute_sequences_batch(lits, lls, mls, offs, out_bound)
+        totals = jnp.sum(lls.astype(jnp.int64) + mls, axis=1)
+        return out, totals
+
+    j2 = P(axis, None)
+    j1 = P(axis)
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            j2, j1, j2, j2, j1,                    # huf
+            j2, j1, j1, j2, j2, j2, j2, j2, j2, j2, j2, j2, j2,  # fse
+            j2, j2, j2, j1, j2, j2, j2,            # maps/pools/consts
+        ),
+        out_specs=(j2, j1),
+        check_vma=False,
+    )
+    _sh_fns[key] = jax.jit(fn)
+    return _sh_fns[key]
+
+
+def parallel_decompress(
+    archive: bytes, seek_table: SeekTable, mesh=None, frame_ids=None
+):
+    """Mesh-sharded archive decode: frames (or the subset ``frame_ids``)
+    are assigned to devices in contiguous blocks; each device decodes its
+    frames in one fused dispatch. Returns the concatenated decompressed
+    bytes (or, with ``frame_ids``, a dict frame_id -> bytes).
+
+    Foreign archives whose frames thread repeat-offset history across
+    blocks fall back to the single-device batched decoder.
+    """
+    jax, jnp = _jax()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..tpu_archive import tpu_decompress_archive
+    from ..tpu_codec import _plan_frame, _words_from_bytes
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+
+    all_ids = frame_ids is None
+    if frame_ids is None:
+        frame_ids = [
+            i for i in range(seek_table.num_frames)
+            if seek_table.frame_size_decomp(i) > 0
+            or seek_table.frame_end_comp(i) > seek_table.frame_start_comp(i)
+        ]
+    if not frame_ids:
+        return b"" if all_ids else {}
+
+    plans = []
+    for i in frame_ids:
+        start = seek_table.frame_start_comp(i)
+        plans.append(_plan_frame(archive, start))
+
+    # Detect cross-block repeat usage (foreign archives): fall back.
+    for hdr, plan, _ in plans:
+        if hdr.content_size is None:
+            return _fallback_decompress(
+                archive, seek_table, frame_ids, all_ids
+            )
+    seq_blocks_per_frame = [
+        [args[0] for kind, *args in plan if kind == "cmp" and args[0].get("nseq", 0) > 0]
+        for _h, plan, _c in plans
+    ]
+
+    F = len(plans)
+    F_pad = -(-F // D) * D
+    F_loc = F_pad // D
+
+    # Per-device staging at common bounds.
+    huf_jobs = []   # (frame_slot, bytes, olen, table)
+    fse_jobs = []   # (frame_slot, desc)
+    for slot, (_h, plan, _c) in enumerate(plans):
+        for kind, *args in plan:
+            if kind == "cmp":
+                d = args[0]
+                if "streams" in d:
+                    for s in d["streams"]:
+                        huf_jobs.append((slot,) + s)
+                if d.get("nseq", 0) > 0:
+                    fse_jobs.append((slot, d))
+
+    dev_of = lambda slot: slot // F_loc
+    J = max(
+        max((sum(1 for j in huf_jobs if dev_of(j[0]) == d) for d in range(D)),
+            default=1), 1
+    )
+    NB = max(
+        max((sum(1 for j in fse_jobs if dev_of(j[0]) == d) for d in range(D)),
+            default=1), 1
+    )
+    J = 1 << max((J - 1).bit_length(), 1)
+    NB = 1 << max((NB - 1).bit_length(), 1)
+
+    huf_out_bound = 1 << max(
+        max((j[2] for j in huf_jobs), default=2) - 1, 1
+    ).bit_length()
+    huf_word_bound = 1 << max(
+        ((max((len(j[1]) for j in huf_jobs), default=4) + 3) // 4).bit_length(), 4
+    )
+    dec_seq_bound = 1 << max(
+        (max((j[1]["nseq"] for j in fse_jobs), default=2) - 1).bit_length(), 5
+    )
+    fse_word_bound = 1 << max(
+        ((max((len(j[1]["payload"]) for j in fse_jobs), default=4) + 3) // 4).bit_length(),
+        4,
+    )
+
+    hw = np.zeros((D, J, huf_word_bound), np.uint32)
+    hstart = np.zeros((D, J), np.int32)
+    hsym = np.zeros((D, J, 2048), np.int32)
+    hnb = np.zeros((D, J, 2048), np.int32)
+    hmb = np.ones((D, J), np.int32)
+    hcount = [0] * D
+    huf_slot_of_job = {}
+    for jid, (slot, sbytes, olen, table) in enumerate(huf_jobs):
+        d = dev_of(slot)
+        k = hcount[d]
+        hcount[d] += 1
+        w, sb = _words_from_bytes(sbytes, huf_word_bound)
+        hw[d, k] = w
+        hstart[d, k] = sb
+        size = 1 << table.max_bits
+        hsym[d, k, :size] = table.symbol
+        hnb[d, k, :size] = table.nb_bits
+        hmb[d, k] = table.max_bits
+        huf_slot_of_job[jid] = (d, k)
+
+    fw = np.zeros((D, NB, fse_word_bound), np.uint32)
+    fstart = np.zeros((D, NB), np.int32)
+    fnseq = np.zeros((D, NB), np.int32)
+    dense = {
+        k: np.zeros((D, NB, size), np.int32)
+        for k, size in (
+            ("lls", 512), ("lln", 512), ("llb", 512),
+            ("ofs", 256), ("ofn", 256), ("ofb", 256),
+            ("mls", 512), ("mln", 512), ("mlb", 512),
+        )
+    }
+    logs = np.zeros((D, NB, 3), np.int32)
+    fcount = [0] * D
+    fse_row_of_desc = {}
+    for slot, d_desc in fse_jobs:
+        d = dev_of(slot)
+        k = fcount[d]
+        fcount[d] += 1
+        w, sb = _words_from_bytes(d_desc["payload"], fse_word_bound)
+        fw[d, k] = w
+        fstart[d, k] = sb
+        fnseq[d, k] = d_desc["nseq"]
+        ll_t, of_t, ml_t = d_desc["tables"]
+        for pre, t in (("ll", ll_t), ("of", of_t), ("ml", ml_t)):
+            size = 1 << t.accuracy_log
+            dense[pre + "s"][d, k, :size] = t.symbol
+            dense[pre + "n"][d, k, :size] = t.nb_bits
+            dense[pre + "b"][d, k, :size] = t.baseline
+        logs[d, k] = [ll_t.accuracy_log, of_t.accuracy_log, ml_t.accuracy_log]
+        fse_row_of_desc[id(d_desc)] = (d, k)
+
+    # Per-device literal/triple layout with device-local virtual offsets.
+    trail_base = NB * dec_seq_bound
+    const_base = trail_base + NB
+    dev_consts = [[(0, 0, 1)] for _ in range(D)]
+    dev_static = [bytearray() for _ in range(D)]
+    lit_segs = [[] for _ in range(F_pad)]
+    seq_slots = [[] for _ in range(F_pad)]
+    chunk_v = np.zeros((D, NB), np.int32)
+    out_sizes = [0] * F_pad
+    hjid = 0
+    for slot, (hdr, plan, _c) in enumerate(plans):
+        d = dev_of(slot)
+        out_sizes[slot] = hdr.content_size
+        consts = dev_consts[d]
+        static = dev_static[d]
+        for kind, *args in plan:
+            if kind == "raw":
+                data_b = args[0]
+                lit_segs[slot].append((len(static), len(data_b), True))
+                static += data_b
+                consts.append((len(data_b), 0, 1))
+                seq_slots[slot].append(const_base + len(consts) - 1)
+            elif kind == "rle":
+                byte, nrep = args[0], args[1]
+                lit_segs[slot].append((len(static), 1, True))
+                static.append(byte)
+                consts.append((1, 0, 1))
+                seq_slots[slot].append(const_base + len(consts) - 1)
+                if nrep > 1:
+                    consts.append((0, nrep - 1, 1))
+                    seq_slots[slot].append(const_base + len(consts) - 1)
+            else:
+                dd = args[0]
+                if "streams" in dd:
+                    chunk_len = 0
+                    for s in dd["streams"]:
+                        _dj, k = huf_slot_of_job[hjid]
+                        hjid += 1
+                        lit_segs[slot].append((k * huf_out_bound, s[1], False))
+                        chunk_len += s[1]
+                else:
+                    lb = dd.get("lit_bytes", b"")
+                    lit_segs[slot].append((len(static), len(lb), True))
+                    static += lb
+                    chunk_len = len(lb)
+                nseq = dd.get("nseq", 0)
+                if nseq == 0:
+                    consts.append((chunk_len, 0, 1))
+                    seq_slots[slot].append(const_base + len(consts) - 1)
+                else:
+                    _dj, k = fse_row_of_desc[id(dd)]
+                    chunk_v[d, k] = chunk_len
+                    seq_slots[slot].extend(
+                        range(k * dec_seq_bound, k * dec_seq_bound + nseq)
+                    )
+                    seq_slots[slot].append(trail_base + k)
+
+    S = 1 << max((max(len(s) for s in seq_slots) - 1).bit_length(), 4)
+    L = 1 << max(
+        (max(sum(g[1] for g in lit_segs[s]) for s in range(F_pad)) - 1).bit_length()
+        if any(lit_segs) else 3,
+        7,
+    )
+    static_len = 1 << max(
+        (max(len(s) for s in dev_static) - 1).bit_length()
+        if any(dev_static) else 3,
+        7,
+    )
+    n_consts = 1 << max((max(len(c) for c in dev_consts) - 1).bit_length(), 2)
+    out_bound = 1 << max((max(out_sizes) - 1).bit_length(), 7)
+
+    static_np = np.zeros((D, static_len), np.uint8)
+    for d in range(D):
+        static_np[d, : len(dev_static[d])] = np.frombuffer(
+            bytes(dev_static[d]), np.uint8
+        )
+    c_np = np.zeros((D, n_consts, 3), np.int64)
+    c_np[:, 0] = (0, 0, 1)
+    for d in range(D):
+        for i, t in enumerate(dev_consts[d]):
+            c_np[d, i] = t
+
+    map_seq = np.full((F_pad, S), const_base, np.int32)
+    lit_map = np.zeros((F_pad, L), np.int32)
+    for slot in range(F_pad):
+        map_seq[slot, : len(seq_slots[slot])] = seq_slots[slot]
+        off = 0
+        for src, ln, is_static in lit_segs[slot]:
+            base = src if is_static else static_len + src
+            lit_map[slot, off : off + ln] = base + np.arange(ln, dtype=np.int32)
+            off += ln
+
+    sh2 = NamedSharding(mesh, P(axis, None))
+    sh1 = NamedSharding(mesh, P(axis))
+
+    def put2(a):
+        return jax.device_put(jnp.asarray(a.reshape(D * a.shape[1], *a.shape[2:])), sh2)
+
+    def put1(a):
+        return jax.device_put(jnp.asarray(a.reshape(-1)), sh1)
+
+    shapes_key = (J, huf_word_bound, huf_out_bound, NB, fse_word_bound,
+                  dec_seq_bound, F_loc, S, L, static_len, n_consts)
+    fn = _sharded_decode_fn(mesh, shapes_key, out_bound)
+    out_rows, totals = fn(
+        put2(hw), put1(hstart), put2(hsym), put2(hnb), put1(hmb),
+        put2(fw), put1(fstart), put1(fnseq),
+        put2(dense["lls"]), put2(dense["lln"]), put2(dense["llb"]),
+        put2(dense["ofs"]), put2(dense["ofn"]), put2(dense["ofb"]),
+        put2(dense["mls"]), put2(dense["mln"]), put2(dense["mlb"]),
+        put2(logs),
+        jax.device_put(jnp.asarray(map_seq), sh2),
+        jax.device_put(jnp.asarray(lit_map), sh2),
+        jax.device_put(jnp.asarray(static_np), sh2),
+        put1(chunk_v),
+        jax.device_put(jnp.asarray(c_np[:, :, 0].astype(np.int32)), sh2),
+        jax.device_put(jnp.asarray(c_np[:, :, 1].astype(np.int32)), sh2),
+        jax.device_put(jnp.asarray(c_np[:, :, 2].astype(np.int32)), sh2),
+    )
+
+    rows = np.asarray(out_rows)
+    totals_np = np.asarray(totals)
+    results = {}
+    from ..errors import corruption_detected
+
+    for slot, fid in enumerate(frame_ids):
+        expect = out_sizes[slot]
+        if int(totals_np[slot]) != expect:
+            raise corruption_detected("frame content size mismatch")
+        results[fid] = rows[slot, :expect].tobytes()
+    if all_ids:
+        return b"".join(results[i] for i in frame_ids)
+    return results
+
+
+def _fallback_decompress(archive, seek_table, frame_ids, all_ids):
+    from ..tpu_archive import tpu_decompress_archive
+    from ..tpu_codec import tpu_decompress_frame
+
+    if all_ids:
+        return tpu_decompress_archive(archive, seek_table)
+    out = {}
+    for i in frame_ids:
+        s, e = seek_table.frame_start_comp(i), seek_table.frame_end_comp(i)
+        out[i], _ = tpu_decompress_frame(archive[s:e])
+    return out
 
 
 def route_queries(seek_table: SeekTable, queries, mesh=None):
@@ -168,11 +799,10 @@ def route_queries(seek_table: SeekTable, queries, mesh=None):
 
     ``queries``: int array of decompressed byte offsets. Returns
     (frame_indices, owner_devices) — the frame containing each offset and
-    the mesh position holding that frame under the round-robin frame
+    the mesh position holding that frame under the contiguous frame
     sharding used by ``parallel_compress``.
     """
     jax, jnp = _jax()
-    import numpy as np
 
     c_off, d_off = seek_table.cumulative_offsets()
     d = jnp.asarray(d_off.astype(np.int64))
@@ -187,25 +817,34 @@ def route_queries(seek_table: SeekTable, queries, mesh=None):
 
 
 def parallel_random_access(archive: bytes, seek_table: SeekTable, ranges, mesh=None):
-    """Serve (offset, limit) random-access queries: route each to its
-    frame(s), decode only those frames, slice the results."""
-    from ..tpu_codec import tpu_decompress_frame
+    """Serve (offset, limit) random-access queries: route offsets to owning
+    frames/devices (``route_queries``), decode the union of touched frames
+    in ONE sharded dispatch (frames grouped per owner), then slice."""
+    if mesh is None:
+        mesh = make_mesh()
+
+    # Union of frames touched by any range, via the routing table.
+    need = set()
+    for lo, hi in ranges:
+        pos = lo
+        while pos < hi:
+            idx = seek_table.frame_index_decomp(pos)
+            f_end = seek_table.frame_end_decomp(idx)
+            need.add(idx)
+            pos = max(f_end, pos + 1)
+    frame_ids = sorted(need)
+    decoded = parallel_decompress(archive, seek_table, mesh, frame_ids=frame_ids)
 
     results = []
-    cache = {}
     for lo, hi in ranges:
         out = []
         pos = lo
         while pos < hi:
             idx = seek_table.frame_index_decomp(pos)
-            if idx not in cache:
-                start = seek_table.frame_start_comp(idx)
-                end = seek_table.frame_end_comp(idx)
-                cache[idx], _ = tpu_decompress_frame(archive[start:end])
             f_start = seek_table.frame_start_decomp(idx)
             f_end = seek_table.frame_end_decomp(idx)
             take = min(hi, f_end) - pos
-            out.append(cache[idx][pos - f_start : pos - f_start + take])
+            out.append(decoded[idx][pos - f_start : pos - f_start + take])
             pos += take
         results.append(b"".join(out))
     return results

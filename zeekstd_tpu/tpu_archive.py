@@ -30,7 +30,14 @@ from .jax_setup import phase_timer
 from .seek_table import SeekTable
 from .xxhash64 import XXH64
 
-BLOCK_SIZE = ZSTD_BLOCK_SIZE_MAX
+import os as _os
+
+# The archive encoder cuts blocks well below the 128 KiB format maximum:
+# each block is an independent FSE stream (and 4 Huffman streams), so
+# smaller blocks directly widen the device's parallel batch and shorten
+# the sequential state chains. ~0.3% size cost on text at 32 KiB.
+BLOCK_SIZE = int(_os.environ.get("ZEEKSTD_TPU_BLOCK", 32 << 10))
+assert BLOCK_SIZE <= ZSTD_BLOCK_SIZE_MAX
 
 _fns = {}
 
@@ -45,11 +52,10 @@ def _jx():
     return jax, jnp
 
 
-def _parse_stats_fn(frame_size: int, seq_bound: int, blocks_per_frame: int):
+def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: int):
+    """Pure per-frame parse+stats function — the unit both the single-chip
+    path (jit∘vmap) and the mesh pipeline (jit∘shard_map∘vmap) build on."""
     jax, jnp = _jx()
-    key = ("parse_stats", frame_size, seq_bound, blocks_per_frame)
-    if key in _fns:
-        return _fns[key]
 
     from .codec.sequences import LL_BASE, ML_BASE
     from .ops.match_tpu import parse_frame
@@ -127,16 +133,23 @@ def _parse_stats_fn(frame_size: int, seq_bound: int, blocks_per_frame: int):
             of_hist.reshape(B, 32), lit_hist.reshape(B, 256),
         )
 
+    return one_frame
+
+
+def _parse_stats_fn(frame_size: int, seq_bound: int, blocks_per_frame: int):
+    jax, jnp = _jx()
+    key = ("parse_stats", frame_size, seq_bound, blocks_per_frame)
+    if key in _fns:
+        return _fns[key]
+    one_frame = _parse_stats_one_frame(frame_size, seq_bound, blocks_per_frame)
     _fns[key] = jax.jit(jax.vmap(one_frame))
     return _fns[key]
 
 
-def _fse_blocks_fn(SB: int, word_bound: int):
+def _fse_one_block(SB: int, word_bound: int):
+    """Pure one-block FSE encode (slices the frame's sequence arrays at the
+    block's first index, then runs the interleaved three-state encoder)."""
     jax, jnp = _jx()
-    key = ("fse_blocks", SB, word_bound)
-    if key in _fns:
-        return _fns[key]
-
     from .codec.sequences import LL_BASE, LL_BITS, ML_BASE, ML_BITS
     from .ops.entropy import fse_encode_sequences
 
@@ -165,10 +178,32 @@ def _fse_blocks_fn(SB: int, word_bound: int):
             ll_log, ml_log, of_log, word_bound=word_bound,
         )
 
+    return one_block
+
+
+def _fse_blocks_fn(SB: int, word_bound: int):
+    jax, jnp = _jx()
+    key = ("fse_blocks", SB, word_bound)
+    if key in _fns:
+        return _fns[key]
+    one_block = _fse_one_block(SB, word_bound)
     _fns[key] = jax.jit(
         jax.vmap(one_block, in_axes=(0,) * 6 + (0, 0) + (0,) * 9 + (0, 0, 0))
     )
     return _fns[key]
+
+
+def _huf_one_stream(seg_bound: int, word_bound: int):
+    """Pure one-stream Huffman encode over a slice of the frame's literal
+    stream."""
+    jax, jnp = _jx()
+    from .ops.entropy import huffman_encode_stream
+
+    def one_stream(lits_f, start, n, codes, nb):
+        seg = jax.lax.dynamic_slice(lits_f, (start,), (seg_bound,))
+        return huffman_encode_stream(seg, n, codes, nb, word_bound)
+
+    return one_stream
 
 
 def _huf_blocks_fn(seg_bound: int, word_bound: int):
@@ -176,70 +211,18 @@ def _huf_blocks_fn(seg_bound: int, word_bound: int):
     key = ("huf_blocks", seg_bound, word_bound)
     if key in _fns:
         return _fns[key]
-
-    from .ops.entropy import huffman_encode_stream
-
-    def one_stream(lits_f, start, n, codes, nb):
-        seg = jax.lax.dynamic_slice(lits_f, (start,), (seg_bound,))
-        return huffman_encode_stream(seg, n, codes, nb, word_bound)
-
-    _fns[key] = jax.jit(jax.vmap(one_stream))
+    _fns[key] = jax.jit(jax.vmap(_huf_one_stream(seg_bound, word_bound)))
     return _fns[key]
 
 
-def tpu_compress_archive(data: bytes, frame_size: int = 2 << 20, checksum: bool = False):
-    """Compress ``data`` into seekable frames with the batched device
-    pipeline; returns (frames_blob, SeekTable)."""
-    jax, jnp = _jx()
-    from .ops.bitpack import words_to_stream
-
-    n = len(data)
-    if n == 0:
-        from .codec.compress import compress_frame
-
-        blob = compress_frame(b"", level=1, checksum=checksum)
-        st = SeekTable()
-        st.log_frame(len(blob), 0)
-        return blob, st
-
-    F = -(-n // frame_size)
-    B = -(-frame_size // BLOCK_SIZE)
-    seq_bound = min(1 << 18, max(2048, frame_size // 8))
-
-    frames = np.zeros((F, frame_size), np.uint8)
-    lengths = np.zeros(F, np.int32)
-    for i in range(F):
-        chunk = data[i * frame_size : (i + 1) * frame_size]
-        frames[i, : len(chunk)] = np.frombuffer(chunk, np.uint8)
-        lengths[i] = len(chunk)
-
-    # --- dispatch 1: parse + stats ---------------------------------------
-    with phase_timer("enc.parse_dispatch"):
-        parse = _parse_stats_fn(frame_size, seq_bound, B)
-        out = parse(jnp.asarray(frames), jnp.asarray(lengths))
-        (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d,
-         n_seq, n_lit, n_raw,
-         seq_cnt, first_idx, ml_sum, litcnt,
-         ll_hist, ml_hist, of_hist, lit_hist) = out
-        out[0].block_until_ready()
-
-    # Pull ONLY the small stats.
-    with phase_timer("enc.stats_pull"):
-        n_seq = np.asarray(n_seq)
-        n_raw = np.asarray(n_raw)
-        seq_cnt = np.asarray(seq_cnt)
-        first_idx = np.asarray(first_idx)
-        litcnt = np.asarray(litcnt)
-        ll_hist = np.asarray(ll_hist)
-        ml_hist = np.asarray(ml_hist)
-        of_hist = np.asarray(of_hist)
-        lit_hist = np.asarray(lit_hist)
-
-    # Frames whose parse overflowed fall back to the host encoder.
-    overflow = n_raw > seq_bound
-
-    # --- host: per-block decisions ---------------------------------------
-    _t_host = phase_timer("enc.host_decisions").__enter__()
+def _host_jobs(
+    F, lengths, overflow, seq_cnt, first_idx, litcnt,
+    ll_hist, ml_hist, of_hist, lit_hist,
+):
+    """Per-block host decisions from the pulled device stats: block
+    descriptors, Huffman literal jobs (with trees/tables), and FSE sequence
+    jobs (with chosen symbol tables). Shared by the single-chip and the
+    mesh-sharded pipelines (frame indices are local to the given stats)."""
     blocks = []  # descriptors for device-encoded blocks
     for f in range(F):
         if overflow[f]:
@@ -257,7 +240,7 @@ def tpu_compress_archive(data: bytes, frame_size: int = 2 << 20, checksum: bool 
             blocks.append(desc)
 
     # Literal mode decisions + Huffman tables (host, from histograms).
-    huf_jobs = []  # stream-level jobs for dispatch 3
+    huf_jobs = []  # stream-level jobs for the Huffman dispatch
     for d in blocks:
         f, b = d["frame"], d["block"]
         hist = lit_hist[f, b]
@@ -318,206 +301,400 @@ def tpu_compress_archive(data: bytes, frame_size: int = 2 << 20, checksum: bool 
         d["tables"] = choices
         d["fse_job"] = len(fse_jobs)
         fse_jobs.append(d)
-    _t_host.__exit__()
+    return blocks, huf_jobs, fse_jobs
 
-    # --- dispatch 2: FSE blocks ------------------------------------------
-    _t_fse = phase_timer("enc.fse_dispatch+pull").__enter__()
-    fse_words = fse_bits = None
-    if fse_jobs:
+
+def _fse_inputs(fse_jobs, seq_bound: int, SB: int | None = None, pad_to: int | None = None):
+    """Stage the FSE job batch as numpy arrays (jobs on axis 0), padded by
+    replicating job 0 to ``pad_to`` (or the next power of two). Returns
+    (arrays dict, SB, word_bound). Sets each job's ``slice_shift``."""
+    if SB is None:
         SB = 1 << max(max(d["nseq"] for d in fse_jobs) - 1, 1).bit_length()
         SB = min(SB, seq_bound)
-        word_bound = (SB * 64) // 32 + 16
-        NB = len(fse_jobs)
+    word_bound = (SB * 64) // 32 + 16
+    NB = len(fse_jobs)
+    NBp = pad_to if pad_to is not None else 1 << max((NB - 1).bit_length(), 3)
 
-        def dense(t, size):
-            dn = np.zeros(64, np.int32); dn[: len(t.delta_nb_bits)] = t.delta_nb_bits
-            df = np.zeros(64, np.int32); df[: len(t.delta_find_state)] = t.delta_find_state
-            stt = np.zeros(size, np.int32); stt[: len(t.state_table)] = t.state_table
-            return dn, df, stt
+    def dense(t, size):
+        dn = np.zeros(64, np.int32); dn[: len(t.delta_nb_bits)] = t.delta_nb_bits
+        df = np.zeros(64, np.int32); df[: len(t.delta_find_state)] = t.delta_find_state
+        stt = np.zeros(size, np.int32); stt[: len(t.state_table)] = t.state_table
+        return dn, df, stt
 
-        arrs = {k: [] for k in (
-            "first", "nseq", "ll_dn", "ll_df", "ll_st", "ml_dn", "ml_df",
-            "ml_st", "of_dn", "of_df", "of_st", "llog", "mlog", "olog", "fidx",
-        )}
-        for d in fse_jobs:
-            arrs["fidx"].append(d["frame"])
-            arrs["first"].append(min(d["first"], seq_bound - SB) if SB <= seq_bound else 0)
-            d["slice_shift"] = d["first"] - arrs["first"][-1]
-            arrs["nseq"].append(d["nseq"])
-            for cat, pre in (("ll", "ll"), ("ml", "ml"), ("of", "of")):
-                t = d["tables"][cat][1]
-                dn, df, stt = dense(t, 512 if cat != "of" else 256)
-                arrs[pre + "_dn"].append(dn)
-                arrs[pre + "_df"].append(df)
-                arrs[pre + "_st"].append(stt)
-            arrs["llog"].append(d["tables"]["ll"][1].accuracy_log)
-            arrs["mlog"].append(d["tables"]["ml"][1].accuracy_log)
-            arrs["olog"].append(d["tables"]["of"][1].accuracy_log)
+    arrs = {k: [] for k in (
+        "first", "nseq", "ll_dn", "ll_df", "ll_st", "ml_dn", "ml_df",
+        "ml_st", "of_dn", "of_df", "of_st", "llog", "mlog", "olog", "fidx",
+    )}
+    for d in fse_jobs:
+        arrs["fidx"].append(d["frame"])
+        arrs["first"].append(min(d["first"], seq_bound - SB) if SB <= seq_bound else 0)
+        d["slice_shift"] = d["first"] - arrs["first"][-1]
+        arrs["nseq"].append(d["nseq"])
+        for cat, pre in (("ll", "ll"), ("ml", "ml"), ("of", "of")):
+            t = d["tables"][cat][1]
+            dn, df, stt = dense(t, 512 if cat != "of" else 256)
+            arrs[pre + "_dn"].append(dn)
+            arrs[pre + "_df"].append(df)
+            arrs[pre + "_st"].append(stt)
+        arrs["llog"].append(d["tables"]["ll"][1].accuracy_log)
+        arrs["mlog"].append(d["tables"]["ml"][1].accuracy_log)
+        arrs["olog"].append(d["tables"]["of"][1].accuracy_log)
 
-        fidx = np.asarray(arrs["fidx"], np.int32)
-        fn = _fse_blocks_fn(SB, word_bound)
-        jnp_ = jnp
-        fse_words, fse_bits = fn(
-            adj_ll[fidx], mls_d[fidx], ovs_d[fidx],
-            llc_d[fidx], mlc_d[fidx], ofc_d[fidx],
-            jnp_.asarray(np.asarray(arrs["first"], np.int32) ),
-            jnp_.asarray(np.asarray(arrs["nseq"], np.int32)),
-            jnp_.asarray(np.stack(arrs["ll_dn"])), jnp_.asarray(np.stack(arrs["ll_df"])), jnp_.asarray(np.stack(arrs["ll_st"])),
-            jnp_.asarray(np.stack(arrs["ml_dn"])), jnp_.asarray(np.stack(arrs["ml_df"])), jnp_.asarray(np.stack(arrs["ml_st"])),
-            jnp_.asarray(np.stack(arrs["of_dn"])), jnp_.asarray(np.stack(arrs["of_df"])), jnp_.asarray(np.stack(arrs["of_st"])),
-            jnp_.asarray(np.asarray(arrs["llog"], np.int32)),
-            jnp_.asarray(np.asarray(arrs["mlog"], np.int32)),
-            jnp_.asarray(np.asarray(arrs["olog"], np.int32)),
-        )
-        fse_bits = np.asarray(fse_bits)
-        fse_words = np.asarray(fse_words)  # (NB, word_bound)
-    _t_fse.__exit__()
+    def padjobs(a, dtype=np.int32):
+        a = np.asarray(a, dtype)
+        return np.concatenate([a, np.repeat(a[:1], NBp - NB, axis=0)])
 
-    # --- dispatch 3: Huffman streams -------------------------------------
-    _t_huf = phase_timer("enc.huf_dispatch+pull").__enter__()
-    huf_words = huf_bits = None
-    if huf_jobs:
+    out = {
+        k: padjobs(np.stack(arrs[k]) if k.endswith(("_dn", "_df", "_st")) else arrs[k])
+        for k in arrs
+    }
+    return out, SB, word_bound
+
+
+def _huf_inputs(huf_jobs, seg_bound: int | None = None, pad_to: int | None = None):
+    """Stage the Huffman job batch (padded like ``_fse_inputs``)."""
+    if seg_bound is None:
         seg_bound = 1 << max(max(j[2] for j in huf_jobs) - 1, 1).bit_length()
-        word_bound = (seg_bound * 12) // 32 + 8
-        fn = _huf_blocks_fn(seg_bound, word_bound)
-        fidx = np.asarray([j[0] for j in huf_jobs], np.int32)
-        starts = np.asarray([j[1] for j in huf_jobs], np.int32)
-        ns = np.asarray([j[2] for j in huf_jobs], np.int32)
-        codes = np.stack([j[3] for j in huf_jobs])
-        nbs = np.stack([j[4] for j in huf_jobs])
-        huf_words, huf_bits = fn(
-            lits_d[fidx], jnp.asarray(starts), jnp.asarray(ns),
-            jnp.asarray(codes), jnp.asarray(nbs),
-        )
-        huf_words = np.asarray(huf_words)
-        huf_bits = np.asarray(huf_bits)
-    _t_huf.__exit__()
+    word_bound = (seg_bound * 12) // 32 + 8
+    NJ = len(huf_jobs)
+    NJp = pad_to if pad_to is not None else 1 << max((NJ - 1).bit_length(), 3)
 
-    # --- host assembly ----------------------------------------------------
-    _t_asm = phase_timer("enc.host_assembly").__enter__()
-    lits_host = None  # lazily pulled only if some block needs raw literals
-    blob = bytearray()
-    st = SeekTable()
+    def padjobs(a, dtype=np.int32):
+        a = np.asarray(a, dtype)
+        return np.concatenate([a, np.repeat(a[:1], NJp - NJ, axis=0)])
+
+    out = {
+        "fidx": padjobs([j[0] for j in huf_jobs]),
+        "starts": padjobs([j[1] for j in huf_jobs]),
+        "ns": padjobs([j[2] for j in huf_jobs]),
+        "codes": padjobs(np.stack([j[3] for j in huf_jobs]), np.uint32),
+        "nbs": padjobs(np.stack([j[4] for j in huf_jobs])),
+    }
+    return out, seg_bound, word_bound
+
+
+def _layout_archive(
+    datas, blocks, overflow, fse_bits, huf_bits,
+    fse_byte_shape, huf_byte_shape, lits_shape, frames_shape,
+    checksum: bool, frame_bound: int | None = None,
+):
+    """Byte-exact archive layout (host): one SegmentPlan over the local
+    frames ``datas`` (list of per-frame bytes). Returns
+    (idx_map, static_pool, c_sizes, d_sizes)."""
+    from .ops.assemble import SegmentPlan
+
+    F = len(datas)
+    plan = SegmentPlan(F, fse_byte_shape, huf_byte_shape, lits_shape, frames_shape)
+    d_sizes = []
     bi = 0
     for f in range(F):
-        fdata = data[f * frame_size : f * frame_size + int(lengths[f])]
+        fdata = datas[f]
+        flen = len(fdata)
+        d_sizes.append(flen)
         if overflow[f]:
             from .codec.compress import compress_frame
 
-            fbytes = compress_frame(fdata, level=1, checksum=checksum)
-            blob += fbytes
-            st.log_frame(len(fbytes), len(fdata))
-            # skip this frame's block descriptors
+            plan.add_static(f, compress_frame(fdata, level=1, checksum=checksum))
             while bi < len(blocks) and blocks[bi]["frame"] == f:
                 bi += 1
             continue
+        if flen == 0:
+            from .codec.compress import compress_frame
 
-        fout = bytearray(
-            frame_mod.write_frame_header(len(fdata), max(len(fdata), 1024), checksum)
+            plan.add_static(f, compress_frame(b"", level=1, checksum=checksum))
+            continue
+
+        plan.add_static(
+            f, frame_mod.write_frame_header(flen, max(flen, 1024), checksum)
         )
-        n_blocks_f = -(-len(fdata) // BLOCK_SIZE)
+        n_blocks_f = -(-flen // BLOCK_SIZE)
         for b in range(n_blocks_f):
             d = blocks[bi]
             assert d["frame"] == f and d["block"] == b
             bi += 1
             last = b == n_blocks_f - 1
-            raw_block = fdata[b * BLOCK_SIZE : b * BLOCK_SIZE + d["len"]]
-
-            body = _assemble_body(
-                d, raw_block, fse_words, fse_bits, huf_words, huf_bits,
-                words_to_stream,
-            )
-            if body is None or len(body) >= d["len"]:
-                if d["len"] > 0 and raw_block.count(raw_block[0]) == d["len"]:
-                    fout += frame_mod.write_block_header(
-                        last, frame_mod.BLOCK_RLE, d["len"]
-                    )
-                    fout += raw_block[:1]
-                else:
-                    fout += frame_mod.write_block_header(
-                        last, frame_mod.BLOCK_RAW, d["len"]
-                    )
-                    fout += raw_block
-            else:
-                fout += frame_mod.write_block_header(
-                    last, frame_mod.BLOCK_COMPRESSED, len(body)
-                )
-                fout += body
+            _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits)
         if checksum:
             h = XXH64(0)
             h.update(fdata)
-            fout += (h.digest() & 0xFFFF_FFFF).to_bytes(4, "little")
-        blob += fout
-        st.log_frame(len(fout), len(fdata))
+            plan.add_static(f, (h.digest() & 0xFFFF_FFFF).to_bytes(4, "little"))
+    idx_map, static_pool, c_sizes = plan.build(frame_bound)
+    return idx_map, static_pool, c_sizes, d_sizes
+
+
+def tpu_compress_archive(
+    data: bytes,
+    frame_size: int = 2 << 20,
+    checksum: bool = False,
+    return_device: bool = False,
+):
+    """Compress ``data`` into seekable frames with the batched device
+    pipeline; returns (frames_blob, SeekTable).
+
+    With ``return_device=True`` the final pull is skipped and
+    (device_rows uint8[F, frame_bound], c_sizes, SeekTable) is returned —
+    the on-device benchmark surface (compressed bytes stay in HBM).
+    """
+    jax, jnp = _jx()
+
+    n = len(data)
+    if n == 0:
+        from .codec.compress import compress_frame
+
+        blob = compress_frame(b"", level=1, checksum=checksum)
+        st = SeekTable()
+        st.log_frame(len(blob), 0)
+        return blob, st
+
+    F = -(-n // frame_size)
+    B = -(-frame_size // BLOCK_SIZE)
+    seq_bound = min(1 << 18, max(2048, frame_size // 8))
+
+    frames = np.zeros((F, frame_size), np.uint8)
+    lengths = np.zeros(F, np.int32)
+    for i in range(F):
+        chunk = data[i * frame_size : (i + 1) * frame_size]
+        frames[i, : len(chunk)] = np.frombuffer(chunk, np.uint8)
+        lengths[i] = len(chunk)
+
+    # --- dispatch 1: parse + stats ---------------------------------------
+    with phase_timer("enc.parse_dispatch"):
+        parse = _parse_stats_fn(frame_size, seq_bound, B)
+        out = parse(jnp.asarray(frames), jnp.asarray(lengths))
+        (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d,
+         n_seq, n_lit, n_raw,
+         seq_cnt, first_idx, ml_sum, litcnt,
+         ll_hist, ml_hist, of_hist, lit_hist) = out
+        out[0].block_until_ready()
+
+    # Pull ONLY the small stats.
+    with phase_timer("enc.stats_pull"):
+        n_seq = np.asarray(n_seq)
+        n_raw = np.asarray(n_raw)
+        seq_cnt = np.asarray(seq_cnt)
+        first_idx = np.asarray(first_idx)
+        litcnt = np.asarray(litcnt)
+        ll_hist = np.asarray(ll_hist)
+        ml_hist = np.asarray(ml_hist)
+        of_hist = np.asarray(of_hist)
+        lit_hist = np.asarray(lit_hist)
+
+    # Frames whose parse overflowed fall back to the host encoder.
+    overflow = n_raw > seq_bound
+
+    # --- host: per-block decisions ---------------------------------------
+    _t_host = phase_timer("enc.host_decisions").__enter__()
+    blocks, huf_jobs, fse_jobs = _host_jobs(
+        F, lengths, overflow, seq_cnt, first_idx, litcnt,
+        ll_hist, ml_hist, of_hist, lit_hist,
+    )
+    _t_host.__exit__()
+
+    # --- dispatch 2: FSE blocks (words stay on device; only the per-job
+    # bit counts — a few KB — are pulled, which lets the host lay out every
+    # section byte-exactly for the device assembler) -----------------------
+    _t_fse = phase_timer("enc.fse_dispatch").__enter__()
+    fse_words = None
+    fse_bits = None
+    if fse_jobs:
+        fin, SB, word_bound = _fse_inputs(fse_jobs, seq_bound)
+        fidx = fin["fidx"]
+        fn = _fse_blocks_fn(SB, word_bound)
+        fse_words, fse_bits = fn(
+            adj_ll[fidx], mls_d[fidx], ovs_d[fidx],
+            llc_d[fidx], mlc_d[fidx], ofc_d[fidx],
+            jnp.asarray(fin["first"]), jnp.asarray(fin["nseq"]),
+            jnp.asarray(fin["ll_dn"]), jnp.asarray(fin["ll_df"]), jnp.asarray(fin["ll_st"]),
+            jnp.asarray(fin["ml_dn"]), jnp.asarray(fin["ml_df"]), jnp.asarray(fin["ml_st"]),
+            jnp.asarray(fin["of_dn"]), jnp.asarray(fin["of_df"]), jnp.asarray(fin["of_st"]),
+            jnp.asarray(fin["llog"]), jnp.asarray(fin["mlog"]), jnp.asarray(fin["olog"]),
+        )
+        fse_bits = np.asarray(fse_bits)  # small pull
+    _t_fse.__exit__()
+
+    # --- dispatch 3: Huffman streams (words stay on device) ---------------
+    _t_huf = phase_timer("enc.huf_dispatch").__enter__()
+    huf_words = None
+    huf_bits = None
+    if huf_jobs:
+        hin, seg_bound, word_bound = _huf_inputs(huf_jobs)
+        fn = _huf_blocks_fn(seg_bound, word_bound)
+        huf_words, huf_bits = fn(
+            lits_d[hin["fidx"]], jnp.asarray(hin["starts"]), jnp.asarray(hin["ns"]),
+            jnp.asarray(hin["codes"]), jnp.asarray(hin["nbs"]),
+        )
+        huf_bits = np.asarray(huf_bits)  # small pull
+    _t_huf.__exit__()
+
+    # --- host assembly ----------------------------------------------------
+    _t_asm = phase_timer("enc.plan_layout").__enter__()
+    dummy_w = jnp.zeros((1, 4), jnp.uint32)
+    if fse_words is None:
+        fse_words, fse_bits = dummy_w, np.zeros(1, np.int32)
+    if huf_words is None:
+        huf_words, huf_bits = dummy_w, np.zeros(1, np.int32)
+
+    datas = [
+        data[f * frame_size : f * frame_size + int(lengths[f])] for f in range(F)
+    ]
+    idx_map, static_pool, c_sizes, d_sizes = _layout_archive(
+        datas, blocks, overflow, fse_bits, huf_bits,
+        (fse_words.shape[0], fse_words.shape[1] * 4),
+        (huf_words.shape[0], huf_words.shape[1] * 4),
+        lits_d.shape, frames.shape, checksum,
+    )
     _t_asm.__exit__()
-    return bytes(blob), st
+
+    # --- dispatch 4: device byte assembly ---------------------------------
+    _t_dev = phase_timer("enc.assemble_dispatch").__enter__()
+    fn = _assemble_jit(
+        idx_map.shape, static_pool.shape, fse_words.shape, huf_words.shape,
+        lits_d.shape, frames.shape,
+    )
+    rows_dev = fn(
+        jnp.asarray(idx_map), jnp.asarray(static_pool),
+        fse_words, jnp.asarray(np.asarray(fse_bits, np.int32)),
+        huf_words, jnp.asarray(np.asarray(huf_bits, np.int32)),
+        lits_d, jnp.asarray(frames),
+    )
+    _t_dev.__exit__()
+
+    st = SeekTable()
+    for f in range(F):
+        st.log_frame(int(c_sizes[f]), d_sizes[f])
+    if return_device:
+        return rows_dev, c_sizes, st
+
+    with phase_timer("enc.blob_pull"):
+        rows = np.asarray(rows_dev)
+        blob = b"".join(rows[f, : c_sizes[f]].tobytes() for f in range(F))
+    return blob, st
 
 
-def _assemble_body(d, raw_block, fse_words, fse_bits, huf_words, huf_bits, words_to_stream):
-    """Build one compressed-block body from device outputs; None -> fallback."""
-    if d["nseq"] == 0:
-        return None
-    # Literals section.
+def _assemble_jit(idx_shape, static_shape, fse_shape, huf_shape, lits_shape, frames_shape):
+    key = ("assemble", idx_shape, static_shape, fse_shape, huf_shape, lits_shape, frames_shape)
+    if key in _fns:
+        return _fns[key]
+    jax, jnp = _jx()
+    from .ops.assemble import assemble_archive, finalize_streams
+
+    def fn(idx_map, static_pool, fse_w, fse_b, huf_w, huf_b, lits, frames):
+        fse_bytes = finalize_streams(fse_w, fse_b)
+        huf_bytes = finalize_streams(huf_w, huf_b)
+        return assemble_archive(idx_map, static_pool, fse_bytes, huf_bytes, lits, frames)
+
+    _fns[key] = jax.jit(fn)
+    return _fns[key]
+
+
+def _stream_len(bits: int) -> int:
+    """Backward-stream byte length incl. sentinel (words_to_stream twin)."""
+    return int(bits) // 8 + 1
+
+
+def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits):
+    """Lay out one block's output segments. Every section length is
+    host-exact here (stream byte counts come from the pulled bit counts),
+    so raw-vs-compressed is decided exactly like the host encoder."""
+    blen = d["len"]
+    raw_block_off = b * BLOCK_SIZE
     nlit = d["nlit"]
-    if d["lit_mode"] == "huf":
-        parts = []
-        for sj in d["huf_streams"]:
-            parts.append(words_to_stream(huf_words[sj], int(huf_bits[sj])))
-        if any(len(p) > 0xFFFF for p in parts[:3]):
-            return None
-        payload = d["tree"] + b"".join(
-            len(p).to_bytes(2, "little") for p in parts[:3]
-        ) + b"".join(parts)
-        try:
-            lit_sec = lit_mod.write_literals_header(
-                lit_mod.LIT_COMPRESSED, nlit, len(payload), True
-            ) + payload
-        except Exception:
-            return None
-    elif d["lit_mode"] == "rle":
-        lit_sec = lit_mod.write_literals_header(
-            lit_mod.LIT_RLE, nlit, 0, False
-        ) + bytes([d["rle_byte"]])
-    else:
-        # Raw literals require the literal bytes on host — fall back to a
-        # raw block instead (these blocks are barely compressible anyway).
-        return None
 
-    # Sequences section.
-    sec = bytearray(write_num_sequences(d["nseq"]))
-    ll_mode = d["tables"]["ll"][0]
-    of_mode = d["tables"]["of"][0]
-    ml_mode = d["tables"]["ml"][0]
-    sec.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
-    sec += d["tables"]["ll"][2] + d["tables"]["of"][2] + d["tables"]["ml"][2]
-    j = d["fse_job"]
-    if d.get("slice_shift", 0) != 0:
-        return None  # slice clamp out of range (overflow guard)
-    sec += words_to_stream(fse_words[j], int(fse_bits[j]))
-    return lit_sec + bytes(sec)
+    lit_plan = None  # (sec_len, emit) where emit appends segments
+    body_len = None
+    if d["nseq"] > 0 and d.get("slice_shift", 0) == 0:
+        # Literals section layout.
+        mode = d["lit_mode"]
+        if mode == "huf":
+            parts = [_stream_len(huf_bits[sj]) for sj in d["huf_streams"]]
+            if any(p > 0xFFFF for p in parts[:3]):
+                mode = "raw"
+            else:
+                payload_len = len(d["tree"]) + 6 + sum(parts)
+                try:
+                    hdr = lit_mod.write_literals_header(
+                        lit_mod.LIT_COMPRESSED, nlit, payload_len, True
+                    )
+                except Exception:
+                    mode = "raw"
+        if mode == "huf":
+            jump = b"".join(p.to_bytes(2, "little") for p in parts[:3])
+            sec_len = len(hdr) + payload_len
+
+            def emit_lits(hdr=hdr, jump=jump, parts=parts):
+                plan.add_static(f, hdr + d["tree"] + jump)
+                for sj, p in zip(d["huf_streams"], parts):
+                    plan.add_huf(f, sj, p)
+
+        elif mode == "rle":
+            hdr = lit_mod.write_literals_header(lit_mod.LIT_RLE, nlit, 0, False)
+            sec_len = len(hdr) + 1
+
+            def emit_lits(hdr=hdr):
+                plan.add_static(f, hdr + bytes([d["rle_byte"]]))
+
+        else:
+            hdr = lit_mod.write_literals_header(lit_mod.LIT_RAW, nlit, 0, False)
+            sec_len = len(hdr) + nlit
+
+            def emit_lits(hdr=hdr):
+                plan.add_static(f, hdr)
+                plan.add_lits(f, f, d["lit_lo"], nlit)
+
+        # Sequences section layout.
+        seq_static = bytearray(write_num_sequences(d["nseq"]))
+        ll_mode, of_mode, ml_mode = (
+            d["tables"]["ll"][0], d["tables"]["of"][0], d["tables"]["ml"][0]
+        )
+        seq_static.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
+        seq_static += d["tables"]["ll"][2] + d["tables"]["of"][2] + d["tables"]["ml"][2]
+        fse_len = _stream_len(fse_bits[d["fse_job"]])
+        body_len = sec_len + len(seq_static) + fse_len
+
+    if body_len is None or body_len >= blen:
+        # Raw / RLE fallback block.
+        first = fdata[raw_block_off : raw_block_off + 1]
+        if blen > 0 and fdata.count(first, raw_block_off, raw_block_off + blen) == blen:
+            plan.add_static(
+                f,
+                frame_mod.write_block_header(last, frame_mod.BLOCK_RLE, blen) + first,
+            )
+        else:
+            plan.add_static(
+                f, frame_mod.write_block_header(last, frame_mod.BLOCK_RAW, blen)
+            )
+            plan.add_raw(f, f, raw_block_off, blen)
+        return
+
+    plan.add_static(
+        f, frame_mod.write_block_header(last, frame_mod.BLOCK_COMPRESSED, body_len)
+    )
+    emit_lits()
+    plan.add_static(f, bytes(seq_static))
+    plan.add_fse(f, d["fse_job"], fse_len)
 
 
-def tpu_decompress_archive(blob: bytes, seek_table=None, verify_checksum: bool = True) -> bytes:
+def tpu_decompress_archive(
+    blob: bytes,
+    seek_table=None,
+    verify_checksum: bool = True,
+    return_device: bool = False,
+):
     """Batched device decode of a whole seekable archive — the decode twin
     of ``tpu_compress_archive``.
 
     All frames' Huffman literal streams decode in ONE vmapped dispatch, all
-    blocks' FSE sequence streams in a second, and every frame's sequence
-    execution in a third (``ops.seq_exec.execute_sequences_batch``); the
-    host only parses headers/tables and stitches results. With a
+    blocks' FSE sequence streams in a second; a third dispatch gathers the
+    per-frame literal/sequence layouts (host-indexed, device-sourced) and
+    executes every frame's sequences. Decoded data never visits the host
+    mid-pipeline; with ``return_device=True`` even the final output stays
+    in HBM and (device uint8[F, out_bound], sizes) is returned. With a
     ``seek_table`` the frame boundaries come from it (reference analog:
     decompress through the seek table, lib/src/decode.rs); without one the
     frames are walked sequentially, skipping skippable frames.
     """
     jax, jnp = _jx()
-    from .tpu_codec import (
-        _plan_frame,
-        _huf_batch,
-        _fse_batch,
-        _fix_rep_carry,
-        _frame_triples,
-    )
-    from .ops.seq_exec import execute_sequences_batch
+    from .tpu_codec import _plan_frame, _fix_rep_carry
     from .xxhash64 import XXH64
     from .errors import checksum_wrong, corruption_detected
 
@@ -544,18 +721,19 @@ def tpu_decompress_archive(blob: bytes, seek_table=None, verify_checksum: bool =
 
     _t_plan.__exit__()
 
-    # --- device dispatch 1: all Huffman streams ---------------------------
+    if not plans:
+        return b""
+
+    # --- device dispatch 1: all Huffman streams (stay on device) ----------
     with phase_timer("dec.huf_batch"):
         stream_list = []
-        frame_stream_base = []
         for _, plan, _ in plans:
-            frame_stream_base.append(len(stream_list))
             for kind, *args in plan:
                 if kind == "cmp" and "streams" in args[0]:
                     stream_list.extend(args[0]["streams"])
-        decoded_streams = _huf_batch(stream_list)
+        dec_streams, huf_out_bound = _huf_batch_dev(stream_list)
 
-    # --- device dispatch 2: all FSE sequence streams ----------------------
+    # --- device dispatch 2: all FSE sequence streams (stay on device) -----
     with phase_timer("dec.fse_batch"):
         seq_blocks = []
         frame_rows = []  # per frame: list of batch-row indices
@@ -566,65 +744,385 @@ def tpu_decompress_archive(blob: bytes, seek_table=None, verify_checksum: bool =
                     rows.append(len(seq_blocks))
                     seq_blocks.append(args[0])
             frame_rows.append(rows)
+        lls_b, mls_b, offs_b, ofvs_b, dec_seq_bound = _fse_batch_dev(seq_blocks)
+
+    # Cross-block repeat-offset carry: only frames that use repeat codes
+    # beyond their first block need the sequential host fix (our encoder
+    # never emits repeat codes; this path serves foreign archives). Only
+    # those frames' rows are pulled/pushed.
+    with phase_timer("dec.rep_carry"):
         if seq_blocks:
-            lls_b, mls_b, offs_b, ofvs_b = _fse_batch(seq_blocks)
-    # Cross-block repeat-offset carry is per frame.
-    with phase_timer("dec.rep_carry+triples"):
-        seq_lookup = {}
-        for rows in frame_rows:
-            if not rows:
-                continue
-            frame_blocks = [seq_blocks[r] for r in rows]
-            _fix_rep_carry(frame_blocks, rows, lls_b, ofvs_b, offs_b)
-            for r in rows:
-                seq_lookup[id(seq_blocks[r])] = (lls_b[r], mls_b[r], offs_b[r])
-
-        # --- assemble per-frame triples -----------------------------------
-        triples = []
-        totals = []
-        for fi, (hdr, plan, _) in enumerate(plans):
-            lls, mls, offs, literals, _ = _frame_triples(
-                plan, decoded_streams, frame_stream_base[fi], seq_lookup
+            nseq_v = np.zeros(ofvs_b.shape[0], np.int32)
+            nseq_v[: len(seq_blocks)] = [d["nseq"] for d in seq_blocks]
+            hasrep = np.asarray(
+                _hasrep_fn(ofvs_b.shape)(ofvs_b, jnp.asarray(nseq_v))
             )
-            triples.append((lls, mls, offs, literals))
-            totals.append(int(lls.sum() + mls.sum()))
+            fix_rows = []
+            for rows in frame_rows:
+                if any(hasrep[r] for r in rows[1:]):
+                    fix_rows.extend(rows)
+            if fix_rows:
+                rows_idx = np.asarray(fix_rows, np.int32)
+                lls_f = np.array(lls_b[rows_idx])
+                ofvs_f = np.array(ofvs_b[rows_idx])
+                offs_f = np.array(offs_b[rows_idx])  # writable copies
+                row_pos = {r: i for i, r in enumerate(fix_rows)}
+                for rows in frame_rows:
+                    if not rows or not any(hasrep[r] for r in rows[1:]):
+                        continue
+                    local = [row_pos[r] for r in rows]
+                    _fix_rep_carry(
+                        [seq_blocks[r] for r in rows], local, lls_f, ofvs_f, offs_f
+                    )
+                offs_b = offs_b.at[jnp.asarray(rows_idx)].set(jnp.asarray(offs_f))
 
-    if not plans:
-        return b""
-
-    # --- device dispatch 3: vmapped sequence execution --------------------
-    with phase_timer("dec.seq_exec+pull"):
+    # --- host: index maps for device literal/triple assembly ---------------
+    with phase_timer("dec.layout"):
         F = len(plans)
-        S = max(max(len(t[0]) for t in triples), 1)
-        L = max(max(len(t[3]) for t in triples), 1)
-        out_bound = max(max(totals), 1)
-        lls_p = np.zeros((F, S), np.int32)
-        mls_p = np.zeros((F, S), np.int32)
-        offs_p = np.ones((F, S), np.int32)
-        lits_p = np.zeros((F, L), np.uint8)
-        for i, (lls, mls, offs, literals) in enumerate(triples):
-            lls_p[i, : len(lls)] = lls
-            mls_p[i, : len(mls)] = mls
-            offs_p[i, : len(offs)] = offs
-            lits_p[i, : len(literals)] = literals
-        out = np.asarray(
-            execute_sequences_batch(
-                jnp.asarray(lits_p), jnp.asarray(lls_p), jnp.asarray(mls_p),
-                jnp.asarray(offs_p), out_bound,
+        NB = max(len(seq_blocks), 1)
+        # virtual pool layout for the (ll, ml, off) triples:
+        #   [0, NB*seq_bound)              decoded sequence slots
+        #   [NB*seq_bound, +NB)            per-block trailing literal runs
+        #   [NB*seq_bound+NB, +C)          host constant pseudo-sequences
+        trail_base = NB * dec_seq_bound
+        const_base = trail_base + NB
+        consts = [(0, 0, 1)]  # padding slot
+        static_lits = bytearray()
+        lit_segs = [[] for _ in range(F)]  # (virt_off, len) into lit pool
+        seq_slots = [[] for _ in range(F)]  # virtual triple indices
+        chunk_lits = np.zeros(NB, np.int64)  # literal bytes per seq block
+        totals = []
+        si = 0
+        for fi, (hdr, plan, _) in enumerate(plans):
+            rows = list(frame_rows[fi])
+            total = 0
+            for kind, *args in plan:
+                if kind == "raw":
+                    data_b = args[0]
+                    lit_segs[fi].append((len(static_lits), len(data_b), True))
+                    static_lits += data_b
+                    consts.append((len(data_b), 0, 1))
+                    seq_slots[fi].append(const_base + len(consts) - 1)
+                    total += len(data_b)
+                elif kind == "rle":
+                    byte, nrep = args[0], args[1]
+                    lit_segs[fi].append((len(static_lits), 1, True))
+                    static_lits.append(byte)
+                    if nrep > 1:
+                        consts.append((1, 0, 1))
+                        seq_slots[fi].append(const_base + len(consts) - 1)
+                        consts.append((0, nrep - 1, 1))
+                        seq_slots[fi].append(const_base + len(consts) - 1)
+                    else:
+                        consts.append((1, 0, 1))
+                        seq_slots[fi].append(const_base + len(consts) - 1)
+                    total += nrep
+                else:
+                    d = args[0]
+                    if "streams" in d:
+                        chunk_len = 0
+                        for sbytes, olen, _t in d["streams"]:
+                            lit_segs[fi].append((si * huf_out_bound, olen, False))
+                            si += 1
+                            chunk_len += olen
+                    else:
+                        lb = d.get("lit_bytes", b"")
+                        lit_segs[fi].append((len(static_lits), len(lb), True))
+                        static_lits += lb
+                        chunk_len = len(lb)
+                    n = d.get("nseq", 0)
+                    if n == 0:
+                        consts.append((chunk_len, 0, 1))
+                        seq_slots[fi].append(const_base + len(consts) - 1)
+                        total += chunk_len
+                    else:
+                        r = rows.pop(0)
+                        chunk_lits[r] = chunk_len
+                        seq_slots[fi].extend(
+                            range(r * dec_seq_bound, r * dec_seq_bound + n)
+                        )
+                        seq_slots[fi].append(trail_base + r)
+            totals.append(total)
+
+        # ``totals`` counts only literal-only plan entries; frames with real
+        # sequences get their exact size from the frame header (always
+        # present for our own frames) or, for foreign headerless frames,
+        # from a small device reduction below.
+        S = 1 << max((max(len(s) for s in seq_slots) - 1).bit_length(), 5)
+        L = 1 << max(
+            (max(sum(g[1] for g in lit_segs[fi]) for fi in range(F)) - 1).bit_length(),
+            7,
+        )
+        sp = 1 << max((len(static_lits) - 1).bit_length() if static_lits else 0, 7)
+        static_np = np.zeros(sp, np.uint8)
+        static_np[: len(static_lits)] = np.frombuffer(bytes(static_lits), np.uint8)
+
+        map_seq = np.zeros((F, S), np.int32)  # 0 -> padding const slot? no:
+        map_seq[:] = const_base  # padding -> consts[0] = (0, 0, 1)
+        lit_map = np.zeros((F, L), np.int32)
+        for fi in range(F):
+            map_seq[fi, : len(seq_slots[fi])] = seq_slots[fi]
+            off = 0
+            for src, ln, is_static in lit_segs[fi]:
+                base = src if is_static else sp + src
+                lit_map[fi, off : off + ln] = base + np.arange(ln, dtype=np.int32)
+                off += ln
+        consts_np = np.asarray(consts, np.int64)
+
+        out_sizes = []
+        from .constants import SEEKABLE_MAX_FRAME_SIZE
+
+        for fi, (hdr, _p, _c) in enumerate(plans):
+            if (
+                hdr.content_size is not None
+                and hdr.content_size > SEEKABLE_MAX_FRAME_SIZE
+            ):
+                # Corrupt/hostile header must not drive a giant allocation
+                # (seekable frames are capped at 1 GiB, lib/src/lib.rs:53-58).
+                raise corruption_detected("declared frame size exceeds cap")
+            out_sizes.append(
+                hdr.content_size if hdr.content_size is not None else -1
             )
+        if any(sz < 0 for sz in out_sizes) and seq_blocks:
+            # Headerless foreign frame: derive output sizes on device from
+            # the decoded (ll, ml) slots before sizing the output buffer.
+            tf = _dec_totals_fn((NB, dec_seq_bound), (F, S), consts_np.shape[0])
+            tot_pre = np.asarray(
+                tf(
+                    lls_b, mls_b, jnp.asarray(
+                        np.asarray([d["nseq"] for d in seq_blocks], np.int32)
+                    ),
+                    jnp.asarray(chunk_lits.astype(np.int32)),
+                    jnp.asarray(consts_np[:, 0].astype(np.int32)),
+                    jnp.asarray(consts_np[:, 1].astype(np.int32)),
+                    jnp.asarray(map_seq),
+                )
+            )
+            out_sizes = [
+                sz if sz >= 0 else int(t) for sz, t in zip(out_sizes, tot_pre)
+            ]
+        out_bound = 1 << max(
+            (max(max(out_sizes), max(totals or [0]), 1) - 1).bit_length(), 7
         )
 
-    # --- verify + join -----------------------------------------------------
-    parts = []
-    for i, (hdr, plan, cpos) in enumerate(plans):
-        result = bytes(out[i, : totals[i]])
-        if hdr.content_size is not None and len(result) != hdr.content_size:
-            raise corruption_detected("frame content size mismatch")
-        if hdr.has_checksum and verify_checksum:
-            stored = int.from_bytes(blob[cpos : cpos + 4], "little")
-            h = XXH64(0)
-            h.update(result)
-            if (h.digest() & 0xFFFF_FFFF) != stored:
-                raise checksum_wrong("content checksum mismatch")
-        parts.append(result)
+    # --- device dispatch 3: assemble triples + execute ---------------------
+    with phase_timer("dec.exec_dispatch"):
+        fn = _dec_exec_fn(
+            (NB, dec_seq_bound), dec_streams.shape, (F, S), (F, L),
+            static_np.shape[0], consts_np.shape[0], out_bound,
+        )
+        nseq_dev = jnp.asarray(
+            np.asarray([d["nseq"] for d in seq_blocks], np.int32)
+            if seq_blocks else np.zeros(NB, np.int32)
+        )
+        out_dev, totals_dev, bad_dev = fn(
+            lls_b, mls_b, offs_b, nseq_dev,
+            jnp.asarray(chunk_lits.astype(np.int32)),
+            jnp.asarray(consts_np[:, 0].astype(np.int32)),
+            jnp.asarray(consts_np[:, 1].astype(np.int32)),
+            jnp.asarray(consts_np[:, 2].astype(np.int32)),
+            jnp.asarray(map_seq), jnp.asarray(lit_map),
+            jnp.asarray(static_np), dec_streams,
+        )
+
+    if return_device:
+        out_dev.block_until_ready()
+        return out_dev, [
+            sz if sz >= 0 else int(t)
+            for sz, t in zip(out_sizes, np.asarray(totals_dev))
+        ]
+
+    # --- pull + verify -----------------------------------------------------
+    with phase_timer("dec.pull+verify"):
+        out = np.asarray(out_dev)
+        totals_np = np.asarray(totals_dev)
+        bad_np = np.asarray(bad_dev)
+        parts = []
+        for i, (hdr, plan, cpos) in enumerate(plans):
+            if bad_np[i]:
+                raise corruption_detected(
+                    "match offset beyond window or literal overrun"
+                )
+            tot = int(totals_np[i])
+            if hdr.content_size is not None and tot != hdr.content_size:
+                raise corruption_detected("frame content size mismatch")
+            result = out[i, :tot].tobytes()
+            if hdr.has_checksum and verify_checksum:
+                stored = int.from_bytes(blob[cpos : cpos + 4], "little")
+                h = XXH64(0)
+                h.update(result)
+                if (h.digest() & 0xFFFF_FFFF) != stored:
+                    raise checksum_wrong("content checksum mismatch")
+            parts.append(result)
     return b"".join(parts)
+
+
+def _hasrep_fn(shape):
+    key = ("hasrep", shape)
+    if key in _fns:
+        return _fns[key]
+    jax, jnp = _jx()
+
+    def fn(ofvs, nseq):
+        k = jnp.arange(ofvs.shape[1], dtype=jnp.int32)[None, :]
+        return jnp.any(jnp.logical_and(ofvs <= 3, k < nseq[:, None]), axis=1)
+
+    _fns[key] = jax.jit(fn)
+    return _fns[key]
+
+
+def _huf_batch_dev(stream_list):
+    """Device-resident batch Huffman decode: returns (dec uint8[W, out_bound]
+    on device, out_bound). Empty input yields a (1, 8) dummy."""
+    jax, jnp = _jx()
+    from .tpu_codec import _get_huf_decode_fn, _words_from_bytes
+
+    if not stream_list:
+        return jnp.zeros((1, 8), jnp.uint8), 8
+    out_bound = 1 << max(max(olen for _, olen, _ in stream_list) - 1, 1).bit_length()
+    word_bound = 1 << max(
+        ((max(len(s) for s, _, _ in stream_list) + 3) // 4).bit_length(), 4
+    )
+    W = len(stream_list)
+    Wp = 1 << max((W - 1).bit_length(), 2)
+    words = np.zeros((Wp, word_bound), np.uint32)
+    starts = np.zeros(Wp, np.int32)
+    syms = np.zeros((Wp, 2048), np.int32)
+    nbs = np.zeros((Wp, 2048), np.int32)
+    mbs = np.zeros(Wp, np.int32)
+    for i, (sbytes, olen, table) in enumerate(stream_list):
+        w, sb = _words_from_bytes(sbytes, word_bound)
+        words[i] = w
+        starts[i] = sb
+        size = 1 << table.max_bits
+        syms[i, :size] = table.symbol
+        nbs[i, :size] = table.nb_bits
+        mbs[i] = table.max_bits
+    mbs[W:] = 1
+    fn = _get_huf_decode_fn(word_bound, out_bound)
+    out = fn(
+        jnp.asarray(words), jnp.asarray(starts), jnp.asarray(syms),
+        jnp.asarray(nbs), jnp.asarray(mbs),
+    )
+    return out, out_bound
+
+
+def _fse_batch_dev(seq_blocks):
+    """Device-resident batch FSE decode: returns (lls, mls, offs, ofvs) as
+    device int32[B, seq_bound] plus seq_bound. Empty input yields dummies."""
+    jax, jnp = _jx()
+    from .tpu_codec import _get_fse_decode_fn, _words_from_bytes
+
+    if not seq_blocks:
+        z = jnp.zeros((1, 32), jnp.int32)
+        return z, z, jnp.ones((1, 32), jnp.int32), jnp.full((1, 32), 4, jnp.int32), 32
+    seq_bound = 1 << max((max(d["nseq"] for d in seq_blocks) - 1).bit_length(), 5)
+    word_bound = 1 << max(
+        ((max(len(d["payload"]) for d in seq_blocks) + 3) // 4).bit_length(), 4
+    )
+    B = len(seq_blocks)
+    Bp = 1 << max((B - 1).bit_length(), 2)
+    words = np.zeros((Bp, word_bound), np.uint32)
+    starts = np.zeros(Bp, np.int32)
+    nseqs = np.zeros(Bp, np.int32)
+    dense = {
+        k: np.zeros((Bp, size), np.int32)
+        for k, size in (
+            ("lls", 512), ("lln", 512), ("llb", 512),
+            ("ofs", 256), ("ofn", 256), ("ofb", 256),
+            ("mls", 512), ("mln", 512), ("mlb", 512),
+        )
+    }
+    logs = np.zeros((Bp, 3), np.int32)
+    for i, d in enumerate(seq_blocks):
+        w, sb = _words_from_bytes(d["payload"], word_bound)
+        words[i] = w
+        starts[i] = sb
+        nseqs[i] = d["nseq"]
+        ll_t, of_t, ml_t = d["tables"]
+        for pre, t in (("ll", ll_t), ("of", of_t), ("ml", ml_t)):
+            size = 1 << t.accuracy_log
+            dense[pre + "s"][i, :size] = t.symbol
+            dense[pre + "n"][i, :size] = t.nb_bits
+            dense[pre + "b"][i, :size] = t.baseline
+        logs[i] = [ll_t.accuracy_log, of_t.accuracy_log, ml_t.accuracy_log]
+    fn = _get_fse_decode_fn(word_bound, seq_bound)
+    lls, mls, offs, ofvs, _reps = fn(
+        jnp.asarray(words), jnp.asarray(starts), jnp.asarray(nseqs),
+        jnp.asarray(dense["lls"]), jnp.asarray(dense["lln"]), jnp.asarray(dense["llb"]),
+        jnp.asarray(dense["ofs"]), jnp.asarray(dense["ofn"]), jnp.asarray(dense["ofb"]),
+        jnp.asarray(dense["mls"]), jnp.asarray(dense["mln"]), jnp.asarray(dense["mlb"]),
+        jnp.asarray(logs[:, 0]), jnp.asarray(logs[:, 1]), jnp.asarray(logs[:, 2]),
+    )
+    return lls, mls, offs, ofvs, seq_bound
+
+
+def _dec_totals_fn(seq_shape, map_shape, n_consts):
+    """Per-frame output sizes from decoded (ll, ml) slots — used only for
+    foreign frames that omit the content size."""
+    key = ("dec_totals", seq_shape, map_shape, n_consts)
+    if key in _fns:
+        return _fns[key]
+    jax, jnp = _jx()
+    NB, seq_bound = seq_shape
+
+    def fn(lls_b, mls_b, nseq_v, chunk_v, c_ll, c_ml, map_seq):
+        k = jnp.arange(seq_bound, dtype=jnp.int32)[None, :]
+        mask = k < nseq_v[:, None]
+        used = jnp.sum(jnp.where(mask, lls_b[:NB], 0), axis=1)
+        trail = chunk_v - used
+        ll_pool = jnp.concatenate([lls_b[:NB].reshape(-1), trail, c_ll])
+        ml_pool = jnp.concatenate(
+            [mls_b[:NB].reshape(-1), jnp.zeros_like(trail), c_ml]
+        )
+        return jnp.sum(
+            ll_pool[map_seq].astype(jnp.int64) + ml_pool[map_seq], axis=1
+        )
+
+    _fns[key] = jax.jit(fn)
+    return _fns[key]
+
+
+def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_consts, out_bound):
+    key = ("dec_exec", seq_shape, dec_shape, map_shape, lit_shape, static_len, n_consts, out_bound)
+    if key in _fns:
+        return _fns[key]
+    jax, jnp = _jx()
+    from .ops.seq_exec import execute_sequences_batch
+
+    NB, seq_bound = seq_shape
+
+    def fn(lls_b, mls_b, offs_b, nseq_v, chunk_v, c_ll, c_ml, c_of,
+           map_seq, lit_map, static_lits, dec_streams):
+        k = jnp.arange(seq_bound, dtype=jnp.int32)[None, :]
+        mask = k < nseq_v[:, None]
+        used = jnp.sum(jnp.where(mask, lls_b[:NB], 0), axis=1)
+        trail = chunk_v - used
+        zero_t = jnp.zeros_like(trail)
+        ll_pool = jnp.concatenate([lls_b[:NB].reshape(-1), trail, c_ll])
+        ml_pool = jnp.concatenate([mls_b[:NB].reshape(-1), zero_t, c_ml])
+        of_pool = jnp.concatenate([offs_b[:NB].reshape(-1), zero_t + 1, c_of])
+        lls = ll_pool[map_seq]
+        mls = ml_pool[map_seq]
+        offs = of_pool[map_seq]
+        lit_flat = jnp.concatenate([static_lits, dec_streams.reshape(-1)])
+        lits = lit_flat[lit_map].astype(jnp.uint8)
+        out = execute_sequences_batch(lits, lls, mls, offs, out_bound)
+        totals = jnp.sum(lls.astype(jnp.int64) + mls, axis=1)
+        # Corruption flags (hostile-input taxonomy, reference:
+        # lib/src/seek_table.rs:145-184 analog for frame payloads): a match
+        # reaching before the frame start, or a sequence literal run
+        # exceeding the block's literal budget (negative trailing run).
+        pos_end = jnp.cumsum(lls.astype(jnp.int64) + mls, axis=1)
+        match_pos = pos_end - mls
+        bad = jnp.any(
+            jnp.logical_or(
+                jnp.logical_and(mls > 0, offs.astype(jnp.int64) > match_pos),
+                lls < 0,
+            ),
+            axis=1,
+        )
+        return out, totals, bad
+
+    _fns[key] = jax.jit(fn)
+    return _fns[key]

@@ -712,6 +712,19 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
 
     lls, mls, offs, literals, _ = _frame_triples(plan, decoded_streams, 0, seq_lookup)
 
+    # Hostile-input validation before touching the device: matches must not
+    # reach before the frame start, literal runs must not exceed the block
+    # budget, and a declared size beyond the 1 GiB seekable frame cap must
+    # not size any allocation (lib/src/lib.rs:53-58 analog).
+    from .constants import SEEKABLE_MAX_FRAME_SIZE
+
+    if hdr.content_size is not None and hdr.content_size > SEEKABLE_MAX_FRAME_SIZE:
+        raise corruption_detected("declared frame size exceeds cap")
+    pos_end = np.cumsum(lls.astype(np.int64) + mls)
+    match_pos = pos_end - mls
+    if np.any((mls > 0) & (offs.astype(np.int64) > match_pos)) or np.any(lls < 0):
+        raise corruption_detected("match offset beyond window or literal overrun")
+
     total = int(lls.sum() + mls.sum())
     out_bound = max(total, 1)
     out = execute_sequences_tpu(
