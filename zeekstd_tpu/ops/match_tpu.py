@@ -282,18 +282,22 @@ def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: i
     return lls, mls, offs, n_seq, literals, n_lit, n_seq_raw
 
 
-def rep1_offset_values(lls_written, mls, offs, n_seq, block_size: int, seq_bound: int):
+def rep1_offset_values(lls_pos, lls_written, mls, offs, n_seq, block_size: int, seq_bound: int):
     """Offset VALUES with repeat-offset coding: sequence i emits rep code 1
     (ofv = 1) when its offset equals the previous sequence's offset, its
     written literal length is nonzero, and both matches start in the same
     block. Restricting to same-block rep1 keeps per-block fresh-history
     decoding exact and is immune to raw-block fallbacks (a skipped block
     never breaks the chain the code relies on). Everything else emits the
-    actual offset + 3 (RFC 8878 §3.1.1.3.2.1.1)."""
+    actual offset + 3 (RFC 8878 §3.1.1.3.2.1.1).
+
+    ``lls_pos``: frame-order literal lengths (positions derive from these);
+    ``lls_written``: the block-clamped lls the bitstream will carry (the
+    ll==0 repeat-index shift applies to these)."""
     sidx = jnp.arange(seq_bound, dtype=jnp.int32)
-    out_len = lls_written + mls
+    out_len = lls_pos + mls
     starts = jnp.cumsum(out_len) - out_len
-    mstart = starts + lls_written
+    mstart = starts + lls_pos
     prev_off = jnp.roll(offs, 1)
     prev_m = jnp.roll(mstart, 1)
     same_block = (mstart // block_size) == (prev_m // block_size)

@@ -461,13 +461,22 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
         ll_code_bits = jnp.asarray(seq_mod.LL_BITS.astype(np.int32))
         ml_code_base = jnp.asarray(seq_mod.ML_BASE.astype(np.int32))
         ml_code_bits = jnp.asarray(seq_mod.ML_BITS.astype(np.int32))
-        lls_b, mls_b, offs_b, _ofvs, _reps = jax.vmap(
+        lls_b, mls_b, offs_b, ofvs_b, _reps = jax.vmap(
             lambda w, s, n, a, b, c, d, e, f, g, h, i, lg: fse_decode_sequences(
                 w, s, dec_seq_bound, n, a, b, c, d, e, f, g, h, i,
                 lg[0], lg[1], lg[2],
                 ll_code_base, ll_code_bits, ml_code_base, ml_code_bits,
             )
         )(fw, fstart, fnseq, dls, dln, dlb, dos, don, dob, dms, dmn, dmb, logs)
+
+        # Unsafe repeat usage per block row: anything but same-block rep1
+        # needs the sequential cross-block fix (host fallback per frame).
+        kk = jnp.arange(dec_seq_bound, dtype=jnp.int32)[None, :]
+        vmask = kk < fnseq[:, None]
+        safe = jnp.logical_and(jnp.logical_and(ofvs_b == 1, lls_b > 0), kk >= 1)
+        unsafe_rep = jnp.any(
+            jnp.logical_and(vmask, jnp.logical_and(ofvs_b <= 3, ~safe)), axis=1
+        )
 
         k = jnp.arange(dec_seq_bound, dtype=jnp.int32)[None, :]
         mask = k < fnseq[:, None]
@@ -484,7 +493,7 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
         lits = lit_flat[lit_map].astype(jnp.uint8)
         out = execute_sequences_batch(lits, lls, mls, offs, out_bound)
         totals = jnp.sum(lls.astype(jnp.int64) + mls, axis=1)
-        return out, totals
+        return out, totals, unsafe_rep
 
     j2 = P(axis, None)
     j1 = P(axis)
@@ -496,7 +505,7 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
             j2, j1, j1, j2, j2, j2, j2, j2, j2, j2, j2, j2, j2,  # fse
             j2, j2, j2, j1, j2, j2, j2,            # maps/pools/consts
         ),
-        out_specs=(j2, j1),
+        out_specs=(j2, j1, j1),
         check_vma=False,
     )
     _sh_fns[key] = jax.jit(fn)
@@ -749,7 +758,7 @@ def parallel_decompress(
     shapes_key = (J, huf_word_bound, huf_out_bound, NB, fse_word_bound,
                   dec_seq_bound, F_loc, S, L, static_len, n_consts)
     fn = _sharded_decode_fn(mesh, shapes_key, out_bound)
-    out_rows, totals = fn(
+    out_rows, totals, unsafe_rep = fn(
         put2(hw), put1(hstart), put2(hsym), put2(hnb), put1(hmb),
         put2(fw), put1(fstart), put1(fnseq),
         put2(dense["lls"]), put2(dense["lln"]), put2(dense["llb"]),
@@ -767,10 +776,24 @@ def parallel_decompress(
 
     rows = np.asarray(out_rows)
     totals_np = np.asarray(totals)
+    unsafe_np = np.asarray(unsafe_rep)
+    # Frames using cross-block repeat history (foreign archives): redo via
+    # the sequential single-frame decoder.
+    redo = set()
+    for slot, d_desc in fse_jobs:
+        d, k = fse_row_of_desc[id(d_desc)]
+        if unsafe_np[d * NB + k]:
+            redo.add(slot)
     results = {}
     from ..errors import corruption_detected
+    from ..tpu_codec import tpu_decompress_frame
 
     for slot, fid in enumerate(frame_ids):
+        if slot in redo:
+            s = seek_table.frame_start_comp(fid)
+            e = seek_table.frame_end_comp(fid)
+            results[fid], _ = tpu_decompress_frame(archive[s:e])
+            continue
         expect = out_sizes[slot]
         if int(totals_np[slot]) != expect:
             raise corruption_detected("frame content size mismatch")

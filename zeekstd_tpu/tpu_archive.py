@@ -58,7 +58,7 @@ def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: in
     jax, jnp = _jx()
 
     from .codec.sequences import LL_BASE, ML_BASE
-    from .ops.match_tpu import parse_frame
+    from .ops.match_tpu import parse_frame, rep1_offset_values
 
     ll_base = jnp.asarray(LL_BASE.astype(np.int32))
     ml_base = jnp.asarray(ML_BASE.astype(np.int32))
@@ -76,7 +76,10 @@ def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: in
         blk = jnp.clip(mstarts // BLOCK_SIZE, 0, B - 1)
         bstart = blk * BLOCK_SIZE
         adj_ll = mstarts - jnp.maximum(starts, bstart)
-        ovs = offs + 3
+        # Same-block rep1 coding over the WRITTEN (block-clamped) lls.
+        ovs = rep1_offset_values(
+            lls, adj_ll, mls, offs, n_seq, BLOCK_SIZE, seq_bound
+        )
         of_codes = 31 - jax.lax.clz(jnp.maximum(ovs, 1))
         ll_codes = jnp.where(
             adj_ll < 16,
@@ -755,7 +758,7 @@ def tpu_decompress_archive(
             nseq_v = np.zeros(ofvs_b.shape[0], np.int32)
             nseq_v[: len(seq_blocks)] = [d["nseq"] for d in seq_blocks]
             hasrep = np.asarray(
-                _hasrep_fn(ofvs_b.shape)(ofvs_b, jnp.asarray(nseq_v))
+                _hasrep_fn(ofvs_b.shape)(ofvs_b, lls_b, jnp.asarray(nseq_v))
             )
             fix_rows = []
             for rows in frame_rows:
@@ -958,14 +961,24 @@ def tpu_decompress_archive(
 
 
 def _hasrep_fn(shape):
+    """Per-block flag: uses a repeat code whose resolution could depend on
+    history from EARLIER blocks. Same-block rep1 (ofv==1, ll>0, not the
+    block's first sequence) resolves exactly against the per-block fresh
+    history, so only the other repeat forms force the sequential fix."""
     key = ("hasrep", shape)
     if key in _fns:
         return _fns[key]
     jax, jnp = _jx()
 
-    def fn(ofvs, nseq):
+    def fn(ofvs, lls, nseq):
         k = jnp.arange(ofvs.shape[1], dtype=jnp.int32)[None, :]
-        return jnp.any(jnp.logical_and(ofvs <= 3, k < nseq[:, None]), axis=1)
+        valid = k < nseq[:, None]
+        safe = jnp.logical_and(
+            jnp.logical_and(ofvs == 1, lls > 0), k >= 1
+        )
+        return jnp.any(
+            jnp.logical_and(valid, jnp.logical_and(ofvs <= 3, ~safe)), axis=1
+        )
 
     _fns[key] = jax.jit(fn)
     return _fns[key]

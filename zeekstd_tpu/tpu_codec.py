@@ -60,7 +60,7 @@ def parse_and_code(data_u8, n_valid, seq_bound: int, block_size: int = BLOCK_SIZ
     one frame. This is the per-chip unit of the data-parallel pipeline
     (vmap over local frames, shard_map over the mesh)."""
     jax, jnp = _lazy_jax()
-    from .ops.match_tpu import parse_frame
+    from .ops.match_tpu import parse_frame, rep1_offset_values
     from .codec.sequences import LL_BASE, ML_BASE
 
     ll_base = jnp.asarray(LL_BASE.astype(np.int32))
@@ -69,7 +69,11 @@ def parse_and_code(data_u8, n_valid, seq_bound: int, block_size: int = BLOCK_SIZ
     lls, mls, offs, n_seq, lits, n_lit, n_seq_raw = parse_frame(
         data_u8, block_size, seq_bound, n_valid=n_valid
     )
-    ov = offs + 3
+    # Same-block repeat-offset coding (rep code 1 when the offset repeats):
+    # the block-clamped first sequence of a block is never rep-eligible
+    # (its predecessor starts in the previous block), so the unclamped lls
+    # are safe to test here.
+    ov = rep1_offset_values(lls, lls, mls, offs, n_seq, block_size, seq_bound)
     # of code = bit_length(offset_value) - 1 == 31 - clz
     of_codes = 31 - jax.lax.clz(jnp.maximum(ov, 1))
     ll_codes = jnp.where(
@@ -608,11 +612,21 @@ def _fse_batch(seq_blocks):
 
 def _fix_rep_carry(seq_blocks, rows, lls, ofvs, offs):
     """Re-resolve repeat offsets sequentially across ONE frame's blocks
-    (batch rows ``rows`` of the _fse_batch arrays), mutating ``offs``."""
-    any_rep_after_first = any(
-        (ofvs[rows[i]][: seq_blocks[i]["nseq"]] <= 3).any()
-        for i in range(1, len(seq_blocks))
-    )
+    (batch rows ``rows`` of the _fse_batch arrays), mutating ``offs``.
+    Same-block rep1 (ofv==1, ll>0, not the block's first sequence) is
+    already exact under the per-block fresh history — our own encoder
+    emits only that form — so the sequential pass runs only for the other
+    repeat forms (foreign archives)."""
+
+    def _unsafe(i):
+        n = seq_blocks[i]["nseq"]
+        ofv = ofvs[rows[i]][:n]
+        ll = lls[rows[i]][:n]
+        k = np.arange(n)
+        safe = (ofv == 1) & (ll > 0) & (k >= 1)
+        return bool(((ofv <= 3) & ~safe).any())
+
+    any_rep_after_first = any(_unsafe(i) for i in range(1, len(seq_blocks)))
     if any_rep_after_first:
         r1, r2, r3 = 1, 4, 8
         for i, d in zip(rows, seq_blocks):
