@@ -343,3 +343,41 @@ def test_decoder_set_prefix_per_call():
     dec.set_prefix(None)  # without the prefix the frame must fail
     with pytest.raises(Exception):
         dec.read(-1)
+
+
+def test_large_frame_streams_with_bounded_memory(monkeypatch):
+    """Frames above the cache threshold decode block-by-block with the
+    reference's dummy-decode-to-offset behavior (lib/src/decode.rs:228-232)
+    instead of materializing the whole frame."""
+    import zeekstd_tpu.decode as dec_mod
+    from zeekstd_tpu import BytesWrapper, DecodeOptions, EncodeOptions, FrameSizePolicy
+
+    data = (b"streaming bounded memory " * 9000)[:200_000]
+    buf = io.BytesIO()
+    enc = (
+        EncodeOptions()
+        .with_frame_size_policy(FrameSizePolicy.uncompressed(200_000))
+        .with_checksum_flag(True)
+        .into_encoder(buf)
+    )
+    enc.write(data)
+    enc.finish()
+    archive = buf.getvalue()
+
+    monkeypatch.setattr(dec_mod, "FRAME_CACHE_MAX", 10_000)
+    dec = DecodeOptions(BytesWrapper(archive)).into_decoder()
+    # full sequential read through the streaming path
+    assert dec.read(-1) == data
+    assert dec._cur_data is None  # never cached whole
+    # mid-frame seeks (forward within stream, and behind = restart)
+    for off in (150_000, 5_000, 199_990, 0):
+        dec.set_offset(off)
+        dec.set_offset_limit(min(off + 1234, len(data)))
+        assert dec.read(-1) == data[off : off + 1234]
+        dec.set_offset_limit(len(data))
+    # interleave with tiny reads
+    dec.set_offset(123_456)
+    got = bytearray()
+    for _ in range(50):
+        got += dec.read(7)
+    assert bytes(got) == data[123_456 : 123_456 + 350]

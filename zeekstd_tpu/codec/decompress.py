@@ -181,6 +181,97 @@ def decode_block(block: bytes, state: FrameDecodeState) -> int:
     return seq_mod.execute_sequences(seqs, lits, state.window, state.window_start)
 
 
+class StreamingFrameDecoder:
+    """Block-by-block frame decode with O(window) memory — the analog of
+    the reference's dummy-decode to mid-frame offsets (lib/src/decode.rs:
+    228-232), whose memory bound is its out-buffer rather than the frame.
+
+    ``next_block()`` returns one block's decompressed bytes (b'' only for
+    an empty block, None when the frame is done). History older than the
+    frame's declared window (plus one block of slack) is discarded as
+    decoding advances, so a 1 GiB frame with a 2 MiB window decodes in
+    ~2 MiB of state.
+    """
+
+    def __init__(self, data, pos: int = 0, prefix: bytes = b"",
+                 window_log_max: int = ZSTD_WINDOWLOG_MAX):
+        # ``data`` may be bytes or any object with __len__ and bounded
+        # slice __getitem__ (e.g. a lazy source-backed window), so the
+        # compressed side is bounded too; all accesses below are bounded
+        # slices.
+        self._data = data
+        hdr = frame_mod.parse_frame_header(bytes(data[pos : pos + 32]))
+        if hdr.window_size is not None and hdr.window_size > (1 << window_log_max):
+            raise corruption_detected(
+                f"frame window {hdr.window_size} exceeds windowLogMax {window_log_max}"
+            )
+        self.header = hdr
+        self._fpos = pos + hdr.header_size
+        self._state = FrameDecodeState(prefix)
+        self._window_size = hdr.window_size or (1 << window_log_max)
+        self._block_max = frame_mod.block_size_max(self._window_size)
+        self._hasher = XXH64(0) if hdr.has_checksum else None
+        self._produced = 0
+        self._done = False
+        self.end_pos: int | None = None
+
+    def next_block(self):
+        if self._done:
+            return None
+        data, fpos, state = self._data, self._fpos, self._state
+        before = len(state.window)
+        last, btype, bsize, consumed = frame_mod.parse_block_header(
+            bytes(data[fpos : fpos + 8])
+        )
+        fpos += consumed
+        if btype == frame_mod.BLOCK_RAW:
+            end = fpos + bsize
+            if end > len(data):
+                raise src_size_wrong("truncated raw block")
+            state.append_raw(bytes(data[fpos:end]))
+            fpos = end
+        elif btype == frame_mod.BLOCK_RLE:
+            if fpos >= len(data):
+                raise src_size_wrong("truncated RLE block")
+            state.append_raw(bytes(data[fpos : fpos + 1]) * bsize)
+            fpos += 1
+        else:
+            if bsize > self._block_max:
+                raise corruption_detected("compressed block exceeds maximum size")
+            end = fpos + bsize
+            if end > len(data):
+                raise src_size_wrong("truncated compressed block")
+            decode_block(bytes(data[fpos:end]), state)
+            fpos = end
+        self._fpos = fpos
+        out = bytes(state.window[before:])
+        self._produced += len(out)
+        if self._hasher is not None:
+            self._hasher.update(out)
+        # Trim history beyond the declared window (+ slack): valid frames
+        # never reference further back; indices stay relative to the end.
+        keep = self._window_size + self._block_max
+        drop = len(state.window) - keep
+        if drop > self._block_max:
+            del state.window[:drop]
+        if last:
+            self._done = True
+            hdr = self.header
+            if hdr.content_size is not None and self._produced != hdr.content_size:
+                raise corruption_detected(
+                    f"frame content size {hdr.content_size} != decoded {self._produced}"
+                )
+            if hdr.has_checksum:
+                if len(data) - fpos < 4:
+                    raise src_size_wrong("truncated content checksum")
+                stored = int.from_bytes(bytes(data[fpos : fpos + 4]), "little")
+                fpos += 4
+                if (self._hasher.digest() & 0xFFFF_FFFF) != stored:
+                    raise checksum_wrong("content checksum mismatch")
+            self.end_pos = fpos
+        return out
+
+
 def decompress(data: bytes, prefix: bytes = b"") -> bytes:
     """Decompress a concatenation of frames (skippable frames skipped)."""
     out = []

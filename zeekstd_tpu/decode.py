@@ -7,12 +7,15 @@ Mirrors the reference's decode layer (reference: lib/src/decode.rs):
 file-object ``read``/``seek`` protocol (the reference's io::Read/io::Seek
 impls, decode.rs:508-579).
 
-Design difference: the reference dummy-decodes block-by-block up to a
-mid-frame offset (decode.rs:228-232); here the resumable unit is the frame —
-a frame is decoded as a whole (frames are policy-bounded, 2 MiB default)
-and served from a buffer, which is also the unit the TPU parallel path
-decodes per chip. ``set_offset`` keeps the current frame buffer when the
-target lies within it (the continue-vs-reset rule, decode.rs:402-414).
+Small frames (the policy default is 2 MiB) are decoded whole and served
+from a cache — also the unit the TPU parallel path decodes per chip.
+Frames larger than ``ZEEKSTD_FRAME_CACHE_MAX`` (default 64 MiB) stream
+block-by-block with O(window) memory on both the compressed and
+decompressed side — the reference's dummy-decode to mid-frame offsets
+(decode.rs:228-232) with its out-buffer-bounded footprint, so a seek into
+a 1 GiB frame no longer allocates 1 GiB. ``set_offset`` keeps the current
+frame buffer/stream when the target lies at or ahead of it (the
+continue-vs-reset rule, decode.rs:402-414).
 """
 
 from __future__ import annotations
@@ -20,10 +23,69 @@ from __future__ import annotations
 import io
 import os
 
-from .codec.decompress import DCtx
+from .codec.decompress import DCtx, StreamingFrameDecoder
 from .errors import OffsetOutOfRangeError, ZeekstdError
 from .seek_table import SeekTable
 from .seekable import Seekable, Start, as_seekable
+
+FRAME_CACHE_MAX = int(os.environ.get("ZEEKSTD_FRAME_CACHE_MAX", 64 << 20))
+
+
+class _LazySrcBytes:
+    """Bounded sliceable view over a Seekable region: holds only a rolling
+    window of the compressed bytes (forward decoding discards consumed
+    prefix), so giant frames never fully materialize."""
+
+    def __init__(self, src: Seekable, base: int, size: int, on_read=None):
+        self._src = src
+        self._base = base
+        self._size = size
+        self._lo = 0
+        self._buf = bytearray()
+        self._src_pos = None  # next absolute source offset to read
+        self._on_read = on_read
+
+    def __len__(self) -> int:
+        return self._size
+
+    def _ensure(self, lo: int, hi: int) -> None:
+        hi = min(hi, self._size)
+        if lo < self._lo:
+            # Rewind (only happens on stream restart).
+            self._lo = lo
+            self._buf = bytearray()
+            self._src_pos = None
+        while self._lo + len(self._buf) < hi:
+            pos = self._lo + len(self._buf)
+            if self._src_pos != pos:
+                self._src.set_offset(Start(self._base + pos))
+                self._src_pos = pos
+            want = max(hi - pos, 1 << 20)
+            chunk = self._src.read(min(want, self._size - pos))
+            if not chunk:
+                raise ZeekstdError("unexpected EOF reading frame")
+            self._buf += chunk
+            self._src_pos = pos + len(chunk)
+            if self._on_read is not None:
+                self._on_read(len(chunk))
+        # Trim consumed prefix (keep a small rewind margin).
+        margin = 1 << 16
+        drop = lo - margin - self._lo
+        if drop > (1 << 20):
+            del self._buf[:drop]
+            self._lo += drop
+
+    def __getitem__(self, sl):
+        if isinstance(sl, slice):
+            lo = 0 if sl.start is None else sl.start
+            hi = self._size if sl.stop is None else min(sl.stop, self._size)
+            if hi <= lo:
+                return b""
+            self._ensure(lo, hi)
+            off = lo - self._lo
+            return bytes(self._buf[off : off + (hi - lo)])
+        self._ensure(sl, sl + 1)
+        return self._buf[sl - self._lo]
 
 
 class DecodeOptions:
@@ -118,6 +180,11 @@ class Decoder:
         # In-memory decoded frame cache: (frame_index, bytes) or None.
         self._cur_frame: int | None = None
         self._cur_data: bytes | None = None
+        # Streaming state for frames larger than FRAME_CACHE_MAX.
+        self._stream: StreamingFrameDecoder | None = None
+        self._stream_frame: int | None = None
+        self._stream_tail = bytearray()  # produced, unserved bytes
+        self._stream_tail_pos = 0  # frame-relative position of tail[0]
 
     # -- helpers -----------------------------------------------------------
 
@@ -176,6 +243,14 @@ class Decoder:
             f_end = self._st.frame_end_decomp(index)
             if self.offset >= f_end:
                 break  # at archive end
+            if self._st.frame_size_decomp(index) > FRAME_CACHE_MAX:
+                chunk = self._stream_read(index, f_start, f_end, remaining)
+                if not chunk:
+                    break
+                out.append(chunk)
+                self.offset += len(chunk)
+                remaining -= len(chunk)
+                continue
             if self._cur_frame != index:
                 self._load_frame(index)
             lo = self.offset - f_start
@@ -184,6 +259,52 @@ class Decoder:
             self.offset += take
             remaining -= take
         return b"".join(out)
+
+    def _stream_read(self, index: int, f_start: int, f_end: int, remaining: int) -> bytes:
+        """Serve bytes from a large frame with O(window) memory: decode
+        block-by-block, discarding output before the requested offset (the
+        reference's dummy-decode, lib/src/decode.rs:228-232)."""
+        rel = self.offset - f_start
+        if self._stream_frame != index or rel < self._stream_tail_pos:
+            comp_start = self._st.frame_start_comp(index)
+            comp_size = self._st.frame_size_comp(index)
+
+            def on_read(n):
+                self._read_compressed += n
+
+            lazy = _LazySrcBytes(self.src, comp_start, comp_size, on_read)
+            self._stream = StreamingFrameDecoder(
+                lazy, 0, prefix=self._prefix or b"",
+                window_log_max=self.dctx.window_log_max,
+            )
+            self._stream_frame = index
+            self._stream_tail = bytearray()
+            self._stream_tail_pos = 0
+        tail = self._stream_tail
+        while self._stream_tail_pos + len(tail) <= rel:
+            blk = self._stream.next_block()
+            if blk is None:
+                return b""  # frame exhausted before offset: sizes disagree
+            # Dummy-decode: drop everything before the target offset.
+            self._stream_tail_pos += len(tail)
+            tail = self._stream_tail = bytearray(blk)
+            drop = min(rel - self._stream_tail_pos, len(tail))
+            if drop > 0:
+                del tail[:drop]
+                self._stream_tail_pos += drop
+        lo = rel - self._stream_tail_pos
+        take = min(remaining, f_end - self.offset, len(tail) - lo)
+        if take <= 0:
+            blk = self._stream.next_block()
+            if blk is None:
+                return b""
+            tail += blk
+            take = min(remaining, f_end - self.offset, len(tail) - lo)
+        chunk = bytes(tail[lo : lo + take])
+        # Consume served bytes.
+        del tail[: lo + take]
+        self._stream_tail_pos += lo + take
+        return chunk
 
     def decompress_into(self, buf) -> int:
         """Fill a caller buffer; returns bytes written (0 at end)."""
@@ -232,6 +353,10 @@ class Decoder:
         self.offset_limit = self._initial_limit
         self._cur_frame = None
         self._cur_data = None
+        self._stream = None
+        self._stream_frame = None
+        self._stream_tail = bytearray()
+        self._stream_tail_pos = 0
         self.dctx.reset_session()
 
     # -- accessors ---------------------------------------------------------
