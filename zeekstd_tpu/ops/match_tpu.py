@@ -36,8 +36,8 @@ import jax.numpy as jnp
 
 HASH_LOG = 16
 MIN_MATCH = 4
-MATCH_CAP = 64
-CONT_WORDS = 4  # words compared past the cap for the merge tie-break
+MATCH_CAP = 32
+CONT_WORDS = 2  # words compared past the cap for the merge tie-break
 
 
 def precompute_words(data_u8):
@@ -153,7 +153,9 @@ def greedy_reachability(step, n: int):
     (pointer-jumping transitive closure from position 0). Uses an explicit
     sink node at index n so a match ending exactly at the frame end does
     not falsely mark the final byte. Unrolled: While-loop bodies lower
-    poorly on this hardware."""
+    poorly on this hardware. (A compacted good-position variant was tried
+    and reverted: ~98% of text positions carry a qualifying candidate, so
+    there is nothing to compact.)"""
     p = jnp.arange(n, dtype=jnp.int32)
     f = jnp.concatenate([jnp.minimum(p + step, n), jnp.full(1, n, jnp.int32)])
     # Derive from f so the carry keeps shard_map's varying manual axes.

@@ -139,6 +139,52 @@ def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: in
     return one_frame
 
 
+def _parse_stats_packed_fn(frame_size: int, seq_bound: int, B: int):
+    """jit(vmap(one_frame)) with the small per-frame statistics packed into
+    ONE int32 row per frame — a single host pull instead of nine (each
+    device->host transfer on this link costs tens of ms of latency)."""
+    jax, jnp = _jx()
+    key = ("parse_stats_packed", frame_size, seq_bound, B)
+    if key in _fns:
+        return _fns[key]
+    one_frame = _parse_stats_one_frame(frame_size, seq_bound, B)
+
+    def packed(data_u8, n_valid):
+        (adj_ll, mls, ovs, llc, mlc, ofc, lits,
+         n_seq, n_lit, n_raw, seq_cnt, first_idx, ml_sum, litcnt,
+         ll_h, ml_h, of_h, lit_h) = one_frame(data_u8, n_valid)
+        stats = jnp.concatenate([
+            jnp.stack([n_seq, n_lit, n_raw]),
+            seq_cnt, first_idx, ml_sum, litcnt,
+            ll_h.reshape(-1), ml_h.reshape(-1),
+            of_h.reshape(-1), lit_h.reshape(-1),
+        ])
+        return adj_ll, mls, ovs, llc, mlc, ofc, lits, stats
+
+    _fns[key] = jax.jit(jax.vmap(packed))
+    return _fns[key]
+
+
+def _unpack_stats(stats_np, B):
+    """Host twin of the packing in ``_parse_stats_packed_fn``."""
+    o = 0
+
+    def take(k, shape=None):
+        nonlocal o
+        v = stats_np[:, o : o + k]
+        o += k
+        return v if shape is None else v.reshape((stats_np.shape[0],) + shape)
+
+    head = take(3)
+    return {
+        "n_seq": head[:, 0], "n_lit": head[:, 1], "n_raw": head[:, 2],
+        "seq_cnt": take(B), "first_idx": take(B), "ml_sum": take(B),
+        "litcnt": take(B),
+        "ll_hist": take(B * 36, (B, 36)), "ml_hist": take(B * 53, (B, 53)),
+        "of_hist": take(B * 32, (B, 32)), "lit_hist": take(B * 256, (B, 256)),
+    }
+
+
 def _parse_stats_fn(frame_size: int, seq_bound: int, blocks_per_frame: int):
     jax, jnp = _jx()
     key = ("parse_stats", frame_size, seq_bound, blocks_per_frame)
@@ -462,25 +508,23 @@ def tpu_compress_archive(
 
     # --- dispatch 1: parse + stats ---------------------------------------
     with phase_timer("enc.parse_dispatch"):
-        parse = _parse_stats_fn(frame_size, seq_bound, B)
-        out = parse(jnp.asarray(frames), jnp.asarray(lengths))
-        (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d,
-         n_seq, n_lit, n_raw,
-         seq_cnt, first_idx, ml_sum, litcnt,
-         ll_hist, ml_hist, of_hist, lit_hist) = out
-        out[0].block_until_ready()
+        parse = _parse_stats_packed_fn(frame_size, seq_bound, B)
+        (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d) = parse(
+            jnp.asarray(frames), jnp.asarray(lengths)
+        )
 
-    # Pull ONLY the small stats.
+    # Pull ONLY the small stats — one transfer for all of them.
     with phase_timer("enc.stats_pull"):
-        n_seq = np.asarray(n_seq)
-        n_raw = np.asarray(n_raw)
-        seq_cnt = np.asarray(seq_cnt)
-        first_idx = np.asarray(first_idx)
-        litcnt = np.asarray(litcnt)
-        ll_hist = np.asarray(ll_hist)
-        ml_hist = np.asarray(ml_hist)
-        of_hist = np.asarray(of_hist)
-        lit_hist = np.asarray(lit_hist)
+        stats = _unpack_stats(np.asarray(stats_d), B)
+        n_seq = stats["n_seq"]
+        n_raw = stats["n_raw"]
+        seq_cnt = stats["seq_cnt"]
+        first_idx = stats["first_idx"]
+        litcnt = stats["litcnt"]
+        ll_hist = stats["ll_hist"]
+        ml_hist = stats["ml_hist"]
+        of_hist = stats["of_hist"]
+        lit_hist = stats["lit_hist"]
 
     # Frames whose parse overflowed fall back to the host encoder.
     overflow = n_raw > seq_bound
@@ -512,7 +556,6 @@ def tpu_compress_archive(
             jnp.asarray(fin["of_dn"]), jnp.asarray(fin["of_df"]), jnp.asarray(fin["of_st"]),
             jnp.asarray(fin["llog"]), jnp.asarray(fin["mlog"]), jnp.asarray(fin["olog"]),
         )
-        fse_bits = np.asarray(fse_bits)  # small pull
     _t_fse.__exit__()
 
     # --- dispatch 3: Huffman streams (words stay on device) ---------------
@@ -526,8 +569,18 @@ def tpu_compress_archive(
             lits_d[hin["fidx"]], jnp.asarray(hin["starts"]), jnp.asarray(hin["ns"]),
             jnp.asarray(hin["codes"]), jnp.asarray(hin["nbs"]),
         )
-        huf_bits = np.asarray(huf_bits)  # small pull
     _t_huf.__exit__()
+
+    # One round trip for both small bit-count arrays (each separate pull on
+    # this link pays tens of ms of latency).
+    with phase_timer("enc.bits_pull"):
+        pulls = [a for a in (fse_bits, huf_bits) if a is not None]
+        if pulls:
+            got = iter(jax.device_get(pulls))
+            if fse_bits is not None:
+                fse_bits = next(got)
+            if huf_bits is not None:
+                huf_bits = next(got)
 
     # --- host assembly ----------------------------------------------------
     _t_asm = phase_timer("enc.plan_layout").__enter__()
