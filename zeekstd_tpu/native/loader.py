@@ -150,13 +150,21 @@ def compress_stream_mt(data: bytes, frame_size: int, checksum: bool = False, nth
     return bytes(memoryview(dst)[:r]), [sizes[i] for i in range(nframes)]
 
 
-def decompress_stream_mt(blob: bytes, frame_offsets, frame_dst_offsets, nthreads: int = 0) -> bytes:
+def decompress_stream_mt(blob: bytes, frame_offsets, frame_dst_offsets, nthreads: int = 0, into=None):
     """Decompress frames in parallel given compressed/decompressed offsets
-    (from the seek table)."""
+    (from the seek table).
+
+    With ``into`` (a writable bytearray of at least the decompressed size)
+    output lands directly in the caller's buffer and the byte count is
+    returned — the io.Write-style surface, with no extra copy. Without it,
+    a fresh ``bytes`` is returned.
+    """
     lib = get_lib()
     nframes = len(frame_offsets) - 1
     total = frame_dst_offsets[-1]
-    dst = _get_scratch(max(total, 1))
+    if into is not None and len(into) < total:
+        raise ValueError("into buffer smaller than decompressed size")
+    dst = into if into is not None else _get_scratch(max(total, 1))
     dst_p = (ctypes.c_char * len(dst)).from_buffer(dst)
     fo = (ctypes.c_uint64 * len(frame_offsets))(*frame_offsets)
     do = (ctypes.c_uint64 * len(frame_dst_offsets))(*frame_dst_offsets)
@@ -166,4 +174,6 @@ def decompress_stream_mt(blob: bytes, frame_offsets, frame_dst_offsets, nthreads
     del dst_p
     if r < 0:
         raise RuntimeError("native stream decompress failed")
+    if into is not None:
+        return r
     return bytes(memoryview(dst)[:r])

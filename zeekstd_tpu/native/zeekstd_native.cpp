@@ -1614,15 +1614,22 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
       }
       const u8* lp = bp + hlen;
       size_t lrem = blen - hlen;
-      lits.clear();
       size_t lit_n = regen;
+      const u8* litp;  // literal bytes + 16B readable slack for wild copies
       if (lit_type == 0) {
         if (lrem < regen) return -1;
-        lits.assign(lp, lp + regen);
+        if (lp + regen + 16 <= src + n) {
+          litp = lp;  // zero-copy: sequences execute straight from src
+        } else {
+          lits.assign(lp, lp + regen);
+          lits.resize(regen + 16);
+          litp = lits.data();
+        }
         lp += regen; lrem -= regen;
       } else if (lit_type == 1) {
         if (lrem < 1) return -1;
-        lits.assign(regen, lp[0]);
+        lits.assign(regen + 16, lp[0]);
+        litp = lits.data();
         lp += 1; lrem -= 1;
       } else {
         if (lrem < compsz) return -1;
@@ -1690,7 +1697,8 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
         }
         if (!ctx.huf_ok) return -1;
         // streams
-        lits.resize(regen);
+        lits.resize(regen + 16);
+        litp = lits.data();
         auto dec_stream = [&](const u8* sp, size_t sn, u8* op, size_t on) -> bool {
           BitReaderBack br(sp, sn);
           if (!br.ok) return false;
@@ -1746,7 +1754,6 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
         zn_prof_lit += __rdtsc() - _lt0;
 #endif
       }
-      lits.resize(lit_n + 16);  // slack for 16-byte wild literal copies
       // sequences
       if (!lrem) return -1;
       size_t nseq;
@@ -1760,7 +1767,7 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
       }
       if (nseq == 0) {
         if (wp + lit_n > wlimit) return -1;
-        memcpy(wp, lits.data(), lit_n);
+        memcpy(wp, litp, lit_n);
         wp += lit_n;
       } else {
         if (!lrem) return -1;
@@ -1838,7 +1845,7 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
             reps[0] = off; reps[1] = nr2; reps[2] = nr3;
             if (lit_pos + llv > lit_n) return -1;
             {
-              const u8* q = lits.data() + lit_pos;
+              const u8* q = litp + lit_pos;
               u8* o = wp;
               memcpy(o, q, 16);
               for (size_t k = 16; k < llv; k += 16) memcpy(o + k, q + k, 16);
@@ -1915,7 +1922,7 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
           if (wp + llv + mlv > wlimit) return -1;
           bool wild = wp + llv + mlv + 32 <= wlimit;
           {
-            const u8* q = lits.data() + lit_pos;
+            const u8* q = litp + lit_pos;
             u8* o = wp;
             if (wild) {
               // llv is usually tiny: one 16-byte store covers it.
@@ -1946,7 +1953,7 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
         if (lit_pos < lit_n) {
           size_t rest = lit_n - lit_pos;
           if (wp + rest > wlimit) return -1;
-          memcpy(wp, lits.data() + lit_pos, rest);
+          memcpy(wp, litp + lit_pos, rest);
           wp += rest;
         }
 #ifdef ZN_PROF
