@@ -8,6 +8,13 @@ so every host can build the identical seek table — ICI/DCN collectives
 instead of the reference's sequential writer.
 """
 
+from .multihost import (
+    host_write_plan,
+    init_multihost,
+    make_multihost_mesh,
+    multihost_compress,
+    process_frame_slice,
+)
 from .pipeline import (
     make_mesh,
     parallel_compress,
@@ -18,10 +25,15 @@ from .pipeline import (
 )
 
 __all__ = [
+    "host_write_plan",
+    "init_multihost",
     "make_mesh",
+    "make_multihost_mesh",
+    "multihost_compress",
     "parallel_compress",
     "parallel_decompress",
     "parallel_parse_step",
     "parallel_random_access",
+    "process_frame_slice",
     "route_queries",
 ]

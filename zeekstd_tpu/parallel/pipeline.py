@@ -162,16 +162,20 @@ def _sharded_encode_fn(mesh, SB, fse_wb, seg_bound, huf_wb, shapes):
     return _sh_fns[key]
 
 
-def _sharded_assemble_fn(mesh, shapes):
+def _sharded_assemble_fn(mesh, shapes, gather_bytes: bool = True):
     """Dispatch 4 sharded + the load-bearing collectives: each device
-    assembles its frames' bytes, then all-gathers (rows, entries) so every
-    participant holds the full ordered archive and seek-table entries."""
+    assembles its frames' bytes, then all-gathers the per-frame entries —
+    and, with ``gather_bytes`` (the single-host default), the frame bytes
+    too, so every participant holds the full ordered archive. Multi-host
+    callers pass ``gather_bytes=False``: only the tiny entry array crosses
+    DCN and each host keeps its own compressed rows (the distributed form
+    of the reference's sequential writer, encode.rs:743-775)."""
     jax, jnp = _jax()
     from jax.sharding import PartitionSpec as P
 
     from ..ops.assemble import assemble_archive, finalize_streams
 
-    key = ("asm", _mesh_key(mesh), shapes)
+    key = ("asm", _mesh_key(mesh), shapes, gather_bytes)
     if key in _sh_fns:
         return _sh_fns[key]
     axis = mesh.axis_names[0]
@@ -183,9 +187,10 @@ def _sharded_assemble_fn(mesh, shapes):
         rows = assemble_archive(
             idx_map, static_pool.reshape(-1), fse_bytes, huf_bytes, lits, frames
         )
-        rows_all = jax.lax.all_gather(rows, axis, tiled=True)
+        if gather_bytes:
+            rows = jax.lax.all_gather(rows, axis, tiled=True)
         entries_all = jax.lax.all_gather(entries, axis, tiled=True)
-        return rows_all, entries_all
+        return rows, entries_all
 
     fn = jax.shard_map(
         per_device,
@@ -197,11 +202,34 @@ def _sharded_assemble_fn(mesh, shapes):
             P(axis, None), P(axis, None),  # lits, frames
             P(axis, None),                 # entries (F, 2)
         ),
-        out_specs=(P(None, None), P(None, None)),
+        out_specs=(P(axis, None) if not gather_bytes else P(None, None),
+                   P(None, None)),
         check_vma=False,
     )
     _sh_fns[key] = jax.jit(fn)
     return _sh_fns[key]
+
+
+def _local_rows(arr):
+    """Host pull of only this process's addressable rows of an axis-0
+    sharded array. Returns (np.ndarray, first_global_row). Single-process
+    this is the whole array; on a pod it is the local shard block."""
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    first = shards[0].index[0].start or 0
+    return rows, first
+
+
+def _allmax(value: int) -> int:
+    """Global max of a host scalar across processes (identity single-host).
+    The shared static bounds (job-batch sizes, word bounds) must agree on
+    every process for the SPMD dispatches to have one shape."""
+    jax, _ = _jax()
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+
+    return int(np.max(multihost_utils.process_allgather(np.int64(value))))
 
 
 def parallel_compress(
@@ -209,10 +237,24 @@ def parallel_compress(
     mesh=None,
     frame_size: int = DEFAULT_FRAME_SIZE,
     checksum: bool = False,
+    first_frame: int = 0,
+    n_total: int | None = None,
+    gather_bytes: bool = True,
 ):
     """Data-parallel seekable compression over the mesh. Returns
     (archive_frames_bytes, SeekTable) where the SeekTable is built from the
-    all-gathered per-frame entry array (never from host-local sizes)."""
+    all-gathered per-frame entry array (never from host-local sizes).
+
+    Multi-host form (one call per process, same arguments except the data
+    slice): ``data`` covers only this process's frame span starting at
+    global frame ``first_frame`` of a logical ``n_total``-byte input, and
+    ``gather_bytes=False`` keeps compressed rows host-local (entries alone
+    are all-gathered). Then the return value is
+    (local_rows_list, first_frame, SeekTable) and each host writes its
+    rows at the offsets the shared table implies (multihost.host_write_plan).
+    Every host-side stage below touches only addressable shards, so the
+    single- and multi-process executions are the same program.
+    """
     jax, jnp = _jax()
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -228,24 +270,42 @@ def parallel_compress(
         mesh = make_mesh()
     axis = mesh.axis_names[0]
     D = mesh.devices.size
-    n = len(data)
+    n = len(data) if n_total is None else n_total
     n_frames, F_pad = _frame_layout(n, frame_size, D)
     F_loc = F_pad // D
 
-    frames = np.zeros((F_pad, frame_size), np.uint8)
+    # Device rows owned by this process (host-major contiguous block).
+    my_devs = [
+        i for i, dev in enumerate(mesh.devices.flat)
+        if dev.process_index == jax.process_index()
+    ]
+    p_lo_f = my_devs[0] * F_loc  # first global frame this process stages
+    p_hi_f = (my_devs[-1] + 1) * F_loc
+    if first_frame > p_lo_f or (n_total is not None and
+                                first_frame + -(-len(data) // frame_size) <
+                                min(p_hi_f, n_frames)):
+        raise ValueError("data slice does not cover this process's frames")
+
     lengths = np.zeros(F_pad, np.int32)
     for i in range(n_frames):
-        chunk = data[i * frame_size : (i + 1) * frame_size]
-        frames[i, : len(chunk)] = np.frombuffer(chunk, np.uint8)
-        lengths[i] = len(chunk)
+        lengths[i] = min(frame_size, n - i * frame_size)
+    frames_loc = np.zeros((p_hi_f - p_lo_f, frame_size), np.uint8)
+    for r, f in enumerate(range(p_lo_f, min(p_hi_f, n_frames))):
+        off = (f - first_frame) * frame_size
+        chunk = data[off : off + int(lengths[f])]
+        frames_loc[r, : len(chunk)] = np.frombuffer(chunk, np.uint8)
 
     seq_bound = min(1 << 18, max(2048, frame_size // 8))
     B = -(-frame_size // BLOCK_SIZE)
 
     sh2 = NamedSharding(mesh, P(axis, None))
     sh1 = NamedSharding(mesh, P(axis))
-    frames_d = jax.device_put(jnp.asarray(frames), sh2)
-    lengths_d = jax.device_put(jnp.asarray(lengths), sh1)
+    frames_d = jax.make_array_from_process_local_data(
+        sh2, frames_loc, (F_pad, frame_size)
+    )
+    lengths_d = jax.make_array_from_process_local_data(
+        sh1, lengths[p_lo_f:p_hi_f], (F_pad,)
+    )
 
     # --- dispatch 1 (sharded): parse + stats ------------------------------
     step = parallel_parse_step(mesh, frame_size, seq_bound)
@@ -255,42 +315,45 @@ def parallel_compress(
      seq_cnt, first_idx, ml_sum, litcnt,
      ll_hist, ml_hist, of_hist, lit_hist) = out
 
-    n_raw_np = np.asarray(n_raw)
-    seq_cnt_np = np.asarray(seq_cnt)
-    first_np = np.asarray(first_idx)
-    litcnt_np = np.asarray(litcnt)
-    ll_h = np.asarray(ll_hist)
-    ml_h = np.asarray(ml_hist)
-    of_h = np.asarray(of_hist)
-    lit_h = np.asarray(lit_hist)
+    # Host pulls touch only this process's shard rows.
+    n_raw_np, _ = _local_rows(n_raw)
+    seq_cnt_np, _ = _local_rows(seq_cnt)
+    first_np, _ = _local_rows(first_idx)
+    litcnt_np, _ = _local_rows(litcnt)
+    ll_h, _ = _local_rows(ll_hist)
+    ml_h, _ = _local_rows(ml_hist)
+    of_h, _ = _local_rows(of_hist)
+    lit_h, _ = _local_rows(lit_hist)
     overflow = n_raw_np > seq_bound
 
-    # --- host: per-device job batches (common padded shapes) --------------
+    # --- host: per-LOCAL-device job batches (common padded shapes) --------
     dev_jobs = []
-    for d in range(D):
-        lo, hi = d * F_loc, (d + 1) * F_loc
+    for li, d in enumerate(my_devs):
+        lo, hi = li * F_loc, (li + 1) * F_loc  # rows within the local pull
         blocks, huf_jobs, fse_jobs = _host_jobs(
-            F_loc, lengths[lo:hi], overflow[lo:hi],
+            F_loc, lengths[d * F_loc : (d + 1) * F_loc], overflow[lo:hi],
             seq_cnt_np[lo:hi], first_np[lo:hi], litcnt_np[lo:hi],
             ll_h[lo:hi], ml_h[lo:hi], of_h[lo:hi], lit_h[lo:hi],
         )
         dev_jobs.append((blocks, huf_jobs, fse_jobs))
 
+    # Shared static bounds: every process must agree (they shape the SPMD
+    # dispatches), so local maxima cross DCN once via process_allgather.
     SB = 1
     for _b, _h, fj in dev_jobs:
         if fj:
             SB = max(SB, max(d["nseq"] for d in fj))
-    SB = min(1 << max((SB - 1).bit_length(), 1), seq_bound)
+    SB = min(1 << max((_allmax(SB) - 1).bit_length(), 1), seq_bound)
     NBp = max(
-        1 << max((max(len(fj) for _b, _h, fj in dev_jobs) - 1).bit_length(), 2), 4
+        1 << max((_allmax(max(len(fj) for _b, _h, fj in dev_jobs)) - 1).bit_length(), 2), 4
     )
     seg = 1
     for _b, hj, _f in dev_jobs:
         if hj:
             seg = max(seg, max(j[2] for j in hj))
-    seg_bound = 1 << max((seg - 1).bit_length(), 4)
+    seg_bound = 1 << max((_allmax(seg) - 1).bit_length(), 4)
     NJp = max(
-        1 << max((max(len(hj) for _b, hj, _f in dev_jobs) - 1).bit_length(), 2), 4
+        1 << max((_allmax(max(len(hj) for _b, hj, _f in dev_jobs)) - 1).bit_length(), 2), 4
     )
 
     fse_stacks, huf_stacks = [], []
@@ -337,52 +400,66 @@ def parallel_compress(
             k: np.concatenate([dd[k] for dd in dicts], axis=0) for k in dicts[0]
         }
 
-    fse_in = {k: jax.device_put(jnp.asarray(v), sh2 if v.ndim == 2 else sh1)
-              for k, v in stack(fse_stacks).items()}
-    huf_in = {k: jax.device_put(jnp.asarray(v), sh2 if v.ndim == 2 else sh1)
-              for k, v in stack(huf_stacks).items()}
+    fse_in = {
+        k: jax.make_array_from_process_local_data(
+            sh2 if v.ndim == 2 else sh1, v,
+            (D * (v.shape[0] // len(my_devs)),) + v.shape[1:],
+        )
+        for k, v in stack(fse_stacks).items()
+    }
+    huf_in = {
+        k: jax.make_array_from_process_local_data(
+            sh2 if v.ndim == 2 else sh1, v,
+            (D * (v.shape[0] // len(my_devs)),) + v.shape[1:],
+        )
+        for k, v in stack(huf_stacks).items()
+    }
 
     # --- dispatch 2+3 (sharded): entropy streams --------------------------
     enc = _sharded_encode_fn(mesh, SB, fse_wb, seg_bound, huf_wb, None)
     fse_w, fse_b, huf_w, huf_b = enc(
         adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, fse_in, huf_in
     )
-    fse_b_np = np.asarray(fse_b).reshape(D, NBp)
-    huf_b_np = np.asarray(huf_b).reshape(D, NJp)
+    fse_b_np, _ = _local_rows(fse_b)
+    fse_b_np = fse_b_np.reshape(len(my_devs), NBp)
+    huf_b_np, _ = _local_rows(huf_b)
+    huf_b_np = huf_b_np.reshape(len(my_devs), NJp)
 
-    # --- host: per-device byte-exact layout (common bounds) ---------------
+    # --- host: per-LOCAL-device byte-exact layout (common bounds) ---------
+    def dev_datas(d):
+        lo = d * F_loc
+        return [
+            data[(lo + f - first_frame) * frame_size
+                 : (lo + f - first_frame) * frame_size + int(lengths[lo + f])]
+            for f in range(F_loc)
+        ]
+
     idx_maps, statics, entries = [], [], []
     frame_bound = 128
     layouts = []
-    for d in range(D):
-        blocks, huf_jobs, fse_jobs = dev_jobs[d]
-        lo = d * F_loc
-        datas = [
-            data[(lo + f) * frame_size : (lo + f) * frame_size + int(lengths[lo + f])]
-            for f in range(F_loc)
-        ]
+    for li, d in enumerate(my_devs):
+        blocks, huf_jobs, fse_jobs = dev_jobs[li]
+        lo = li * F_loc
         idx_map, static_pool, c_sizes, d_sizes = _layout_archive(
-            datas, blocks, overflow[lo : lo + F_loc], fse_b_np[d], huf_b_np[d],
+            dev_datas(d), blocks, overflow[lo : lo + F_loc],
+            fse_b_np[li], huf_b_np[li],
             (NBp, fse_wb * 4), (NJp, huf_wb * 4),
             (F_loc, lits_d.shape[1]), (F_loc, frame_size), checksum,
         )
         layouts.append((idx_map, static_pool, c_sizes, d_sizes))
         frame_bound = max(frame_bound, idx_map.shape[1])
-    static_bound = max(l[1].shape[0] for l in layouts)
-    for d in range(D):
-        idx_map, static_pool, c_sizes, d_sizes = layouts[d]
+    frame_bound = _allmax(frame_bound)
+    static_bound = _allmax(max(l[1].shape[0] for l in layouts))
+    for li, d in enumerate(my_devs):
+        idx_map, static_pool, c_sizes, d_sizes = layouts[li]
         if idx_map.shape[1] < frame_bound or static_pool.shape[0] < static_bound:
             # Rebuild at the common bounds (index maps embed the static
             # pool size, so padding must happen before map construction).
-            blocks, huf_jobs, fse_jobs = dev_jobs[d]
-            lo = d * F_loc
-            datas = [
-                data[(lo + f) * frame_size : (lo + f) * frame_size + int(lengths[lo + f])]
-                for f in range(F_loc)
-            ]
-            # pad the static blob inside the plan by rebuilding with bound
+            blocks, huf_jobs, fse_jobs = dev_jobs[li]
+            lo = li * F_loc
             idx_map, static_pool, c_sizes, d_sizes = _layout_archive(
-                datas, blocks, overflow[lo : lo + F_loc], fse_b_np[d], huf_b_np[d],
+                dev_datas(d), blocks, overflow[lo : lo + F_loc],
+                fse_b_np[li], huf_b_np[li],
                 (NBp, fse_wb * 4), (NJp, huf_wb * 4),
                 (F_loc, lits_d.shape[1]), (F_loc, frame_size), checksum,
                 frame_bound=frame_bound,
@@ -403,28 +480,42 @@ def parallel_compress(
                       np.asarray(d_sizes, np.int64)], axis=1)
         )
 
-    idx_all = jax.device_put(jnp.asarray(np.concatenate(idx_maps, axis=0)), sh2)
-    static_all = jax.device_put(jnp.asarray(np.stack(statics)), sh2)
-    entries_all_in = jax.device_put(
-        jnp.asarray(np.concatenate(entries, axis=0).astype(np.int32)), sh2
+    idx_all = jax.make_array_from_process_local_data(
+        sh2, np.concatenate(idx_maps, axis=0), (F_pad, frame_bound)
+    )
+    statics_np = np.stack(statics)
+    static_all = jax.make_array_from_process_local_data(
+        sh2, statics_np, (D, static_bound)
+    )
+    entries_all_in = jax.make_array_from_process_local_data(
+        sh2, np.concatenate(entries, axis=0).astype(np.int32), (F_pad, 2)
     )
 
-    # --- dispatch 4 (sharded): assemble + all_gather ----------------------
-    asm = _sharded_assemble_fn(mesh, None)
-    rows_all, entries_all = asm(
+    # --- dispatch 4 (sharded): assemble + entry/byte collectives ----------
+    asm = _sharded_assemble_fn(mesh, None, gather_bytes=gather_bytes)
+    rows_out, entries_all = asm(
         idx_all, static_all, fse_w, fse_b, huf_w, huf_b, lits_d, frames_d,
         entries_all_in,
     )
 
     # --- every host: seek table FROM the gathered entries -----------------
     entries_np = np.asarray(entries_all)  # (F_pad, 2) replicated
-    rows_np = np.asarray(rows_all)
     st = SeekTable()
+    for f in range(n_frames):
+        st.log_frame(int(entries_np[f, 0]), int(entries_np[f, 1]))
+    if not gather_bytes:
+        # Multi-host return: this host's ordered rows only.
+        rows_np, first_row = _local_rows(rows_out)
+        local = [
+            rows_np[r, : int(entries_np[first_row + r, 0])].tobytes()
+            for r in range(rows_np.shape[0])
+            if first_row + r < n_frames
+        ]
+        return local, first_row, st
+    rows_np = np.asarray(rows_out)
     blob = bytearray()
     for f in range(n_frames):
-        c, dsz = int(entries_np[f, 0]), int(entries_np[f, 1])
-        st.log_frame(c, dsz)
-        blob += rows_np[f, :c].tobytes()
+        blob += rows_np[f, : int(entries_np[f, 0])].tobytes()
     return bytes(blob), st
 
 
