@@ -84,26 +84,45 @@ def _shift_down(a, j, fill):
     return jnp.concatenate([jnp.full(j, fill, a.dtype), a[:-j]])
 
 
-def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid):
+def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid,
+                        cap: int = MATCH_CAP, cont_words: int = CONT_WORDS):
     """Best candidate among the ``depths`` nearest earlier same-hash
     positions, with vectorized match lengths.
 
-    Strips are gathered once (MATCH_CAP/4 + CONT_WORDS gathers total); each
+    Strips are gathered once (cap/4 + cont_words gathers total); each
     depth j compares a strip against itself shifted by j rows — the sorted
     order makes "candidate's words" a shift instead of a gather. Returns
-    (cand, mlen, cont) in position space.
+    (cand, mlen, cont) in position space. ``cap`` bounds the measured
+    match length (longer matches re-emerge at the next anchor and are
+    merged exactly), so it trades strip-gather traffic — the dominant
+    cost on this hardware — against selection quality only.
     """
     n = data_u8.shape[0]
     words = precompute_words(data_u8)
     order = jnp.argsort(h, stable=True).astype(jnp.int32)
     h_s = h[order]
 
-    n_strips = MATCH_CAP // 4 + CONT_WORDS
-    strips = [words[jnp.minimum(order + 4 * k, n - 1)] for k in range(n_strips)]
+    # Probes past the cap serve two roles. *Extension* probes (contiguous
+    # words right after the cap) lengthen cap-length matches at word
+    # granularity — rounding DOWN, so the measured length is always a true
+    # match length. A *far* probe (~3x the cap away) is a selection
+    # tie-break only: among still-tied candidates, one that also matches
+    # far ahead is the continuation the capped-match merge needs on
+    # periodic text. cap16+2ext+far costs 7 strip gathers where a full
+    # cap32 costs 10 — gathers are the dominant parse cost on this chip.
+    if cont_words == 1:
+        ext_ks = [cap // 4, cap // 4 + 1]
+        far_ks = [cap // 4 + 7]
+    else:
+        ext_ks = []
+        far_ks = [cap // 4 + i for i in range(cont_words)]
+    strip_ks = list(range(cap // 4)) + ext_ks + far_ks
+    strips = [words[jnp.minimum(order + 4 * k, n - 1)] for k in strip_ks]
 
     # Per-row (sorted order) match-length limit at the owning position.
     block_end = (order // block_size + 1) * block_size
-    limit = jnp.minimum(jnp.minimum(block_end, n_valid) - order, MATCH_CAP)
+    mlen_max = cap + 4 * len(ext_ks)
+    limit = jnp.minimum(jnp.minimum(block_end, n_valid) - order, mlen_max)
 
     best_cand = jnp.full(n, -1, jnp.int32)
     best_mlen = jnp.zeros(n, jnp.int32)
@@ -116,7 +135,7 @@ def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid):
         # Unrolled word compares: byte-refined first mismatching word.
         mlen = jnp.zeros(n, jnp.int32)
         alive = same
-        for k in range(MATCH_CAP // 4):
+        for k in range(cap // 4):
             diff = (strips[k] ^ _shift_down(strips[k], j, -1)).astype(jnp.uint32)
             full = jnp.logical_and(alive, diff == 0)
             partial = (
@@ -126,11 +145,21 @@ def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid):
             )
             mlen = mlen + jnp.where(full, 4, jnp.where(alive, partial, 0))
             alive = full
+        # Word-granular exact extension past the cap (cumulative AND keeps
+        # it a true prefix match), then far-probe continuation tie-break.
+        run = alive.astype(jnp.int32)
+        si = cap // 4
+        for _ in ext_ks:
+            eq = (strips[si] == _shift_down(strips[si], j, -1)).astype(jnp.int32)
+            run = run * eq
+            mlen = mlen + 4 * run
+            si += 1
         cont = jnp.zeros(n, jnp.int32)
-        for k in range(MATCH_CAP // 4, n_strips):
-            cont = cont + (
-                strips[k] == _shift_down(strips[k], j, -1)
-            ).astype(jnp.int32)
+        for _ in far_ks:
+            eq = (strips[si] == _shift_down(strips[si], j, -1)).astype(jnp.int32)
+            run = run * eq
+            cont = cont + run
+            si += 1
         mlen = jnp.where(same, jnp.minimum(mlen, limit), 0)
         cont = jnp.where(same, cont, 0)
         better = jnp.logical_or(
@@ -141,7 +170,16 @@ def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid):
         best_mlen = jnp.where(better, mlen, best_mlen)
         best_cont = jnp.where(better, cont, best_cont)
 
-    # Back to position space.
+    # Back to position space — one packed scatter instead of three when
+    # the fields fit an int32 (cand+1 up to 2^22, mlen 6 bits, cont 2).
+    if n <= (1 << 22) and mlen_max <= 63 and len(far_ks) <= 3:
+        packed = (
+            ((best_cand + 1) << 8)
+            | (best_mlen << 2)
+            | jnp.minimum(best_cont, 3)
+        )
+        out = jnp.zeros(n, jnp.int32).at[order].set(packed)
+        return (out >> 8) - 1, (out >> 2) & 63, out & 3
     out_c = jnp.full(n, -1, jnp.int32).at[order].set(best_cand)
     out_m = jnp.zeros(n, jnp.int32).at[order].set(best_mlen)
     out_k = jnp.zeros(n, jnp.int32).at[order].set(best_cont)
@@ -201,6 +239,15 @@ def level_depths(level: int):
     return 4, 6
 
 
+def level_cap(level: int):
+    """(match-length cap, continuation words) per level: fast levels halve
+    the strip-gather traffic (the parse's dominant cost on this chip);
+    capped matches re-merge exactly, so only selection tie-breaks differ."""
+    if level <= 4:
+        return 16, 1
+    return MATCH_CAP, CONT_WORDS
+
+
 def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: int = 3):
     """Full parallel parse of one frame.
 
@@ -219,11 +266,14 @@ def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: i
     # chain. Selection maximizes (length, continuation-past-cap), nearest
     # first on exact ties — the parallel analog of a deep chain search.
     ds, dl = level_depths(level)
+    cap, cw = level_cap(level)
     h = hash_positions_tpu(data_u8)
-    cand, mlen, cont = sorted_hash_matches(data_u8, h, ds, block_size, n_valid)
+    cand, mlen, cont = sorted_hash_matches(
+        data_u8, h, ds, block_size, n_valid, cap=cap, cont_words=cw
+    )
     h_l = hash_positions_long(data_u8)
     cand_l, mlen_l, cont_l = sorted_hash_matches(
-        data_u8, h_l, dl, block_size, n_valid
+        data_u8, h_l, dl, block_size, n_valid, cap=cap, cont_words=cw
     )
     better = jnp.logical_or(
         mlen_l > mlen, jnp.logical_and(mlen_l == mlen, cont_l > cont)
