@@ -100,7 +100,6 @@ def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid,
     n = data_u8.shape[0]
     words = precompute_words(data_u8)
     order = jnp.argsort(h, stable=True).astype(jnp.int32)
-    h_s = h[order]
 
     # Probes past the cap serve two roles. *Extension* probes (contiguous
     # words right after the cap) lengthen cap-length matches at word
@@ -108,8 +107,7 @@ def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid,
     # match length. A *far* probe (~3x the cap away) is a selection
     # tie-break only: among still-tied candidates, one that also matches
     # far ahead is the continuation the capped-match merge needs on
-    # periodic text. cap16+2ext+far costs 7 strip gathers where a full
-    # cap32 costs 10 — gathers are the dominant parse cost on this chip.
+    # periodic text.
     if cont_words == 1:
         ext_ks = [cap // 4, cap // 4 + 1]
         far_ks = [cap // 4 + 7]
@@ -117,7 +115,23 @@ def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid,
         ext_ks = []
         far_ks = [cap // 4 + i for i in range(cont_words)]
     strip_ks = list(range(cap // 4)) + ext_ks + far_ks
-    strips = [words[jnp.minimum(order + 4 * k, n - 1)] for k in strip_ks]
+
+    # ONE row gather for all strips + the sorted hashes. XLA's TPU gather
+    # cost is per-index, not per-byte: gathering (n, K+1) rows costs about
+    # the same as one 1-D gather, where K separate strip gathers cost K
+    # times as much (measured ~6x on this chip for K=7).
+    cols = []
+    for k in strip_ks:
+        if k == 0:
+            cols.append(words)
+        else:
+            kk = min(4 * k, n)
+            fill = jnp.broadcast_to(words[n - 1], (kk,))
+            cols.append(jnp.concatenate([words[kk:], fill]))
+    cols.append(h)
+    sm = jnp.stack(cols, axis=1)[order]  # (n, K+1)
+    strips = [sm[:, i] for i in range(len(strip_ks))]
+    h_s = sm[:, len(strip_ks)]
 
     # Per-row (sorted order) match-length limit at the owning position.
     block_end = (order // block_size + 1) * block_size
