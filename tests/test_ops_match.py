@@ -98,9 +98,10 @@ def test_round_trip_through_seq_exec_kernel():
         lls_np[int(n_seq)] = trailing
         mls_np[int(n_seq)] = 0
         offs_np[int(n_seq)] = 1
-    out = execute_sequences_tpu(
+    out, conv = execute_sequences_tpu(
         lits, jnp.asarray(lls_np), jnp.asarray(mls_np), jnp.asarray(offs_np), len(data)
     )
+    assert bool(conv)
     assert bytes(np.asarray(out)) == data
 
 

@@ -58,10 +58,11 @@ def run_kernel(data, seq_bound=None, out_bound=None):
     for i, (ll, ml, off) in enumerate(seqs):
         lls[i], mls[i], offs[i] = ll, ml, off
     lit_arr = np.frombuffer(lits.ljust(max(len(lits), 1), b"\0"), np.uint8)
-    out = execute_sequences_tpu_jit(
+    out, conv = execute_sequences_tpu_jit(
         jnp.asarray(lit_arr), jnp.asarray(lls), jnp.asarray(mls), jnp.asarray(offs),
         out_bound,
     )
+    assert bool(conv)
     return bytes(np.asarray(out)[: len(data)])
 
 
@@ -107,9 +108,10 @@ def test_batch_vmap():
         A.append(lls)
         B.append(mls)
         C.append(offs)
-    out = execute_sequences_batch(
+    out, conv = execute_sequences_batch(
         jnp.asarray(np.stack(L)), jnp.asarray(np.stack(A)),
         jnp.asarray(np.stack(B)), jnp.asarray(np.stack(C)), out_bound,
     )
+    assert bool(np.asarray(conv).all())
     for row, d in zip(np.asarray(out), datas):
         assert bytes(row[: len(d)]) == bytes(d)

@@ -582,9 +582,9 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
         offs = of_pool[map_seq]
         lit_flat = jnp.concatenate([static_lits.reshape(-1), dec.reshape(-1)])
         lits = lit_flat[lit_map].astype(jnp.uint8)
-        out = execute_sequences_batch(lits, lls, mls, offs, out_bound)
+        out, conv = execute_sequences_batch(lits, lls, mls, offs, out_bound)
         totals = jnp.sum(lls.astype(jnp.int64) + mls, axis=1)
-        return out, totals, unsafe_rep
+        return out, totals, unsafe_rep, conv
 
     j2 = P(axis, None)
     j1 = P(axis)
@@ -596,7 +596,7 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
             j2, j1, j1, j2, j2, j2, j2, j2, j2, j2, j2, j2, j2,  # fse
             j2, j2, j2, j1, j2, j2, j2,            # maps/pools/consts
         ),
-        out_specs=(j2, j1, j1),
+        out_specs=(j2, j1, j1, j1),
         check_vma=False,
     )
     _sh_fns[key] = jax.jit(fn)
@@ -849,7 +849,7 @@ def parallel_decompress(
     shapes_key = (J, huf_word_bound, huf_out_bound, NB, fse_word_bound,
                   dec_seq_bound, F_loc, S, L, static_len, n_consts)
     fn = _sharded_decode_fn(mesh, shapes_key, out_bound)
-    out_rows, totals, unsafe_rep = fn(
+    out_rows, totals, unsafe_rep, conv = fn(
         put2(hw), put1(hstart), put2(hsym), put2(hnb), put1(hmb),
         put2(fw), put1(fstart), put1(fnseq),
         put2(dense["lls"]), put2(dense["lln"]), put2(dense["llb"]),
@@ -868,12 +868,17 @@ def parallel_decompress(
     rows = np.asarray(out_rows)
     totals_np = np.asarray(totals)
     unsafe_np = np.asarray(unsafe_rep)
-    # Frames using cross-block repeat history (foreign archives): redo via
-    # the sequential single-frame decoder.
+    conv_np = np.asarray(conv)
+    # Frames using cross-block repeat history (foreign archives), or whose
+    # copy chains exceeded the pointer-doubling depth: redo via the
+    # sequential single-frame decoder.
     redo = set()
     for slot, d_desc in fse_jobs:
         d, k = fse_row_of_desc[id(d_desc)]
         if unsafe_np[d * NB + k]:
+            redo.add(slot)
+    for slot in range(len(frame_ids)):
+        if not conv_np[slot]:
             redo.add(slot)
     results = {}
     from ..errors import corruption_detected

@@ -757,12 +757,14 @@ def tpu_decompress_archive(
     # --- host: plan every frame ------------------------------------------
     _t_plan = phase_timer("dec.plan").__enter__()
     plans = []  # (hdr, plan, checksum_pos)
+    frame_starts = []  # blob offset of each planned frame (host fallbacks)
     if seek_table is not None:
         for i in range(seek_table.num_frames):
             start = seek_table.frame_start_comp(i)
             if seek_table.frame_size_decomp(i) == 0 and seek_table.frame_end_comp(i) == start:
                 continue
             plans.append(_plan_frame(blob, start))
+            frame_starts.append(start)
     else:
         pos = 0
         while pos < len(blob):
@@ -773,6 +775,7 @@ def tpu_decompress_archive(
                 continue
             hdr, plan, fpos = _plan_frame(blob, pos)
             plans.append((hdr, plan, fpos))
+            frame_starts.append(pos)
             pos = fpos + (4 if hdr.has_checksum else 0)
 
     _t_plan.__exit__()
@@ -971,7 +974,7 @@ def tpu_decompress_archive(
             np.asarray([d["nseq"] for d in seq_blocks], np.int32)
             if seq_blocks else np.zeros(NB, np.int32)
         )
-        out_dev, totals_dev, bad_dev = fn(
+        out_dev, totals_dev, bad_dev, conv_dev = fn(
             lls_b, mls_b, offs_b, nseq_dev,
             jnp.asarray(chunk_lits.astype(np.int32)),
             jnp.asarray(consts_np[:, 0].astype(np.int32)),
@@ -983,6 +986,14 @@ def tpu_decompress_archive(
 
     if return_device:
         out_dev.block_until_ready()
+        if not np.asarray(conv_dev).all():
+            # Copy chains deeper than 2^N_DOUBLINGS segments (pathological
+            # nesting): the device rows are not trustworthy; callers that
+            # need the bytes use the pulled path, which falls back per frame.
+            raise RuntimeError(
+                "sequence copy chains exceeded the pointer-doubling depth; "
+                "re-run without return_device for the host fallback"
+            )
         return out_dev, [
             sz if sz >= 0 else int(t)
             for sz, t in zip(out_sizes, np.asarray(totals_dev))
@@ -993,8 +1004,16 @@ def tpu_decompress_archive(
         out = np.asarray(out_dev)
         totals_np = np.asarray(totals_dev)
         bad_np = np.asarray(bad_dev)
+        conv_np = np.asarray(conv_dev)
         parts = []
         for i, (hdr, plan, cpos) in enumerate(plans):
+            if not conv_np[i]:
+                # Pathologically deep copy-chain nesting: host decode.
+                from .codec.decompress import decompress_frame
+
+                result, _end = decompress_frame(blob, frame_starts[i])
+                parts.append(result)
+                continue
             if bad_np[i]:
                 raise corruption_detected(
                     "match offset beyond window or literal overrun"
@@ -1173,7 +1192,7 @@ def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_const
         offs = of_pool[map_seq]
         lit_flat = jnp.concatenate([static_lits, dec_streams.reshape(-1)])
         lits = lit_flat[lit_map].astype(jnp.uint8)
-        out = execute_sequences_batch(lits, lls, mls, offs, out_bound)
+        out, conv = execute_sequences_batch(lits, lls, mls, offs, out_bound)
         totals = jnp.sum(lls.astype(jnp.int64) + mls, axis=1)
         # Corruption flags (hostile-input taxonomy, reference:
         # lib/src/seek_table.rs:145-184 analog for frame payloads): a match
@@ -1188,7 +1207,7 @@ def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_const
             ),
             axis=1,
         )
-        return out, totals, bad
+        return out, totals, bad, conv
 
     _fns[key] = jax.jit(fn)
     return _fns[key]

@@ -741,10 +741,15 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
 
     total = int(lls.sum() + mls.sum())
     out_bound = max(total, 1)
-    out = execute_sequences_tpu(
+    out, conv = execute_sequences_tpu(
         jnp.asarray(literals if literals.size else np.zeros(1, np.uint8)),
         jnp.asarray(lls), jnp.asarray(mls), jnp.asarray(offs), out_bound,
     )
+    if not bool(conv):
+        # Copy chains nested deeper than 2^N_DOUBLINGS segments: host decode.
+        from .codec.decompress import decompress_frame
+
+        return decompress_frame(frame, pos)
     result = bytes(np.asarray(out)[:total])
 
     if hdr.content_size is not None and len(result) != hdr.content_size:
