@@ -49,3 +49,50 @@ def test_table_lookup_huffman_shape():
     nb = np.clip(rng.integers(1, 12, 256), 1, 11).astype(np.int32)
     got = np.asarray(table_lookup_pallas(jnp.asarray(data), jnp.asarray(nb), interpret=True))
     assert np.array_equal(got, nb[data])
+
+
+def _reach_reference(step_np, n, block):
+    """Serial greedy chain per block — the ground truth."""
+    reach = np.zeros(n, bool)
+    for b0 in range(0, n, block):
+        p = b0
+        end = min(b0 + block, n)
+        while p < end:
+            reach[p] = True
+            p += step_np[p]
+    return reach
+
+
+@pytest.mark.parametrize("seed,n,block", [
+    (0, 1024, 1024), (1, 4096, 1024), (2, 8192, 8192), (3, 16384, 4096),
+])
+def test_reachability_chunked(seed, n, block):
+    from zeekstd_tpu.ops.pallas_kernels import SMAX, reachability_chunked
+
+    rng = np.random.default_rng(seed)
+    step = rng.integers(1, SMAX + 1, n).astype(np.int32)
+    # Respect the parse invariant: steps never cross a block boundary.
+    pos = np.arange(n)
+    room = block - (pos % block)
+    step = np.minimum(step, room).astype(np.int32)
+    got = np.asarray(
+        reachability_chunked(jnp.asarray(step), n, block, interpret=True)
+    )
+    assert np.array_equal(got, _reach_reference(step, n, block))
+
+
+def test_reachability_chunked_vs_xla_parse_steps():
+    # Steps shaped like a real parse: literal runs (1) + capped matches.
+    from zeekstd_tpu.ops.match_tpu import greedy_reachability
+    from zeekstd_tpu.ops.pallas_kernels import reachability_chunked
+
+    rng = np.random.default_rng(42)
+    n, block = 32768, 8192
+    step = np.ones(n, np.int32)
+    idx = rng.choice(n, 6000, replace=False)
+    step[idx] = rng.integers(4, 25, 6000)
+    room = block - (np.arange(n) % block)
+    step = np.minimum(step, room).astype(np.int32)
+    got = np.asarray(reachability_chunked(jnp.asarray(step), n, block, interpret=True))
+    want = np.asarray(greedy_reachability(jnp.asarray(step), n, block))
+    assert np.array_equal(got, want)

@@ -31,6 +31,8 @@ block-local as the format requires. Output feeds ``ops.entropy`` encoders.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -200,7 +202,8 @@ def sorted_hash_matches(data_u8, h, depths: int, block_size: int, n_valid,
     return out_c, out_m, out_k
 
 
-def greedy_reachability(step, n: int, block_size: int | None = None):
+def greedy_reachability(step, n: int, block_size: int | None = None,
+                        step_max: int | None = None):
     """Anchor mask: positions visited by the serial greedy parse
     (pointer-jumping transitive closure from position 0). Uses an explicit
     sink node so a match ending exactly at the frame end does not falsely
@@ -209,6 +212,13 @@ def greedy_reachability(step, n: int, block_size: int | None = None):
     ~98% of text positions carry a qualifying candidate, so there is
     nothing to compact.)
 
+    When ``step_max`` (the parse's match cap) is small, chains are local
+    and the Mosaic chunked path applies on TPU: per-128-byte-chunk pointer
+    tables in registers + MXU map composition + binary-lifting mark
+    (ops/pallas_kernels.reachability_chunked) — it replaces the
+    log2(block) full-size gather/scatter rounds that otherwise dominate
+    the whole parse.
+
     When ``block_size`` is given, steps are guaranteed never to cross a
     multiple of it (the parse caps match lengths at the block end), so
     every block start is an anchor and reachability factors into
@@ -216,6 +226,21 @@ def greedy_reachability(step, n: int, block_size: int | None = None):
     doubling levels, with row-local gathers/scatters — measured ~35%
     faster than the global pass on the target chip.
     """
+    from .pallas_kernels import CHUNK, SMAX, reachability_chunked
+
+    eff_block = min(block_size, n) if block_size else n
+    if (
+        step_max is not None
+        and step_max <= SMAX
+        and n % CHUNK == 0
+        and eff_block % CHUNK == 0
+        and n % eff_block == 0
+        and (eff_block // CHUNK) & (eff_block // CHUNK - 1) == 0
+        and (n // CHUNK) % 8 == 0
+        and jax.default_backend() == "tpu"
+        and _os.environ.get("ZEEKSTD_TPU_REACH") != "xla"
+    ):
+        return reachability_chunked(step, n, eff_block)
     if block_size is None or block_size >= n:
         p = jnp.arange(n, dtype=jnp.int32)
         f = jnp.concatenate([jnp.minimum(p + step, n), jnp.full(1, n, jnp.int32)])
@@ -306,7 +331,8 @@ def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: i
     good = jnp.logical_and(good, p < n_valid - MIN_MATCH)
 
     step = jnp.where(good, jnp.maximum(mlen, 1), 1)
-    reach = greedy_reachability(step, n, block_size)
+    mlen_max = cap + (8 if cw == 1 else 0)
+    reach = greedy_reachability(step, n, block_size, step_max=mlen_max)
 
     is_seq = jnp.logical_and(reach, good)
     is_lit = jnp.logical_and(

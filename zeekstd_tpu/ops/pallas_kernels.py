@@ -15,6 +15,15 @@ hand-written kernels are the passes whose access pattern is tile-local:
   Huffman code/nb_bits map of ops/entropy.huffman_encode_stream),
   expressed as two 128-lane dynamic gathers of the broadcast table
   halves plus a select — the tile-local form Mosaic supports.
+- ``reachability_chunked``: the greedy-parse anchor mask (the dominant
+  cost of the TPU encode path — ops/match_tpu.greedy_reachability's
+  log-depth scatter/gather joins run at HBM gather speed). Greedy steps
+  are bounded by the match cap (<= SMAX bytes), so chains are *local*:
+  pointer tables for 128-byte chunks are built entirely in registers
+  (7 doubling rounds of within-tile lane shuffles — the one gather shape
+  Mosaic lowers natively), chunk transfer maps (SMAX entries each)
+  compose across a block via one-hot matmuls on the MXU, and a second
+  kernel marks the chain per position by in-register binary lifting.
 
 Each has an XLA twin used as the correctness reference; interpret=True
 runs the same kernels on CPU for tests.
@@ -111,3 +120,121 @@ def table_lookup_pallas(data, table, interpret: bool = False):
         interpret=interpret,
     )(tab2, data2)
     return out.reshape(n)
+
+
+# --- chunked greedy reachability --------------------------------------------
+
+CHUNK = 128  # one chunk per 128-lane register row
+SMAX = 32  # max greedy step (match cap); exit phases are < SMAX
+N_TABLES = 8  # f^1, f^2, ..., f^128 — binary-lifting tables per chunk
+
+
+def _ptr_tables_kernel(step_ref, out_ref):
+    """Chunk-local pointer-doubling tables, one chunk per sublane row.
+
+    v starts as the one-step target ``lane + step``; values >= CHUNK mean
+    the chain exited the chunk with phase ``v - CHUNK`` (< SMAX). Each
+    doubling squares the step count; exited values saturate. All eight
+    f^(2^k) tables are emitted for the binary-lifting mark kernel.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 1)
+    v = lane + step_ref[:]
+    out_ref[:, 0:CHUNK] = v
+    for k in range(1, N_TABLES):
+        nxt = jnp.take_along_axis(v, jnp.clip(v, 0, CHUNK - 1), axis=1)
+        v = jnp.where(v < CHUNK, nxt, v)
+        out_ref[:, k * CHUNK : (k + 1) * CHUNK] = v
+
+
+def chunk_pointer_tables(step2, interpret: bool = False):
+    """step2: int32[rows, 128] (row = chunk) -> int32[rows, 8*128] tables."""
+    rows = step2.shape[0]
+    return pl.pallas_call(
+        _ptr_tables_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, N_TABLES * CHUNK), jnp.int32),
+        grid=(rows // 8,),
+        in_specs=[pl.BlockSpec((8, CHUNK), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (8, N_TABLES * CHUNK), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(step2)
+
+
+def _mark_kernel(tab_ref, entry_ref, out_ref):
+    """Mark chain positions by binary lifting: advance from the chunk's
+    entry phase through the f^(2^k) tables without passing each lane's own
+    position; a lane is on the chain iff the walk lands exactly on it."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 1)
+    cur = entry_ref[:]
+    for k in range(N_TABLES - 1, -1, -1):
+        tab = tab_ref[:, k * CHUNK : (k + 1) * CHUNK]
+        cand = jnp.take_along_axis(tab, jnp.clip(cur, 0, CHUNK - 1), axis=1)
+        cur = jnp.where(cand <= lane, cand, cur)
+    out_ref[:] = (cur == lane).astype(jnp.int32)
+
+
+def chunk_mark(tables, entry2, interpret: bool = False):
+    """tables: int32[rows, 8*128]; entry2: int32[rows, 128] (entry phase
+    broadcast across lanes) -> int32[rows, 128] chain mask."""
+    rows = tables.shape[0]
+    return pl.pallas_call(
+        _mark_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, CHUNK), jnp.int32),
+        grid=(rows // 8,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, N_TABLES * CHUNK), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, CHUNK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, CHUNK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tables, entry2)
+
+
+def reachability_chunked(step, n: int, block_size: int, interpret: bool = False):
+    """Greedy-parse anchor mask via chunk-local pointer tables.
+
+    Requirements (the caller checks): every step in [1, SMAX]; n a
+    multiple of CHUNK; block_size a multiple of CHUNK dividing n (or
+    >= n); n // min(block_size, n) blocks with a power-of-two chunk
+    count each. Steps never cross a block boundary, so every block
+    starts a fresh chain at phase 0 — exactly the block factoring of
+    ops/match_tpu.greedy_reachability.
+    """
+    rows = n // CHUNK
+    eff_block = min(block_size, n)
+    cb = eff_block // CHUNK  # chunks per block (power of two)
+    nb = rows // cb
+
+    tables = chunk_pointer_tables(
+        step.astype(jnp.int32).reshape(rows, CHUNK), interpret=interpret
+    )
+
+    # Chunk transfer maps: f^128 is fully saturated (every within-chunk
+    # path exits in <= 128 steps), so its first SMAX lanes are the exit
+    # phase for each entry phase.
+    m = tables[:, (N_TABLES - 1) * CHUNK : (N_TABLES - 1) * CHUNK + SMAX] - CHUNK
+    m = m.reshape(nb, cb, SMAX)
+
+    # Prefix-compose per block (Hillis-Steele over maps): Q[c] maps the
+    # block entry phase (always 0) to chunk c's entry phase. Composition
+    # is a one-hot matmul — MXU work instead of gathers.
+    ident = jnp.broadcast_to(jnp.arange(SMAX, dtype=jnp.int32), (nb, 1, SMAX))
+    q = jnp.concatenate([ident, m[:, :-1]], axis=1)
+    levels = max((cb - 1).bit_length(), 0)
+    for k in range(levels):
+        sh = 1 << k
+        if sh >= cb:
+            break
+        qs = jnp.concatenate(
+            [jnp.broadcast_to(ident, (nb, sh, SMAX)), q[:, :-sh]], axis=1
+        )
+        oh = jax.nn.one_hot(qs, SMAX, dtype=jnp.float32)
+        q = jnp.einsum("bcej,bcj->bce", oh, q.astype(jnp.float32)).astype(jnp.int32)
+    entry = q[:, :, 0].reshape(rows)  # entry phase per chunk
+
+    entry2 = jnp.broadcast_to(entry[:, None], (rows, CHUNK))
+    mask = chunk_mark(tables, entry2, interpret=interpret)
+    return mask.reshape(n).astype(bool)
