@@ -583,7 +583,7 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
         lit_flat = jnp.concatenate([static_lits.reshape(-1), dec.reshape(-1)])
         lits = lit_flat[lit_map].astype(jnp.uint8)
         out, conv = execute_sequences_batch(lits, lls, mls, offs, out_bound)
-        totals = jnp.sum(lls.astype(jnp.int64) + mls, axis=1)
+        totals = jnp.sum(lls.astype(jnp.int32) + mls, axis=1)
         return out, totals, unsafe_rep, conv
 
     j2 = P(axis, None)

@@ -1161,7 +1161,7 @@ def _dec_totals_fn(seq_shape, map_shape, n_consts):
             [mls_b[:NB].reshape(-1), jnp.zeros_like(trail), c_ml]
         )
         return jnp.sum(
-            ll_pool[map_seq].astype(jnp.int64) + ml_pool[map_seq], axis=1
+            ll_pool[map_seq].astype(jnp.int32) + ml_pool[map_seq], axis=1
         )
 
     _fns[key] = jax.jit(fn)
@@ -1193,16 +1193,16 @@ def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_const
         lit_flat = jnp.concatenate([static_lits, dec_streams.reshape(-1)])
         lits = lit_flat[lit_map].astype(jnp.uint8)
         out, conv = execute_sequences_batch(lits, lls, mls, offs, out_bound)
-        totals = jnp.sum(lls.astype(jnp.int64) + mls, axis=1)
+        totals = jnp.sum(lls.astype(jnp.int32) + mls, axis=1)
         # Corruption flags (hostile-input taxonomy, reference:
         # lib/src/seek_table.rs:145-184 analog for frame payloads): a match
         # reaching before the frame start, or a sequence literal run
         # exceeding the block's literal budget (negative trailing run).
-        pos_end = jnp.cumsum(lls.astype(jnp.int64) + mls, axis=1)
+        pos_end = jnp.cumsum(lls.astype(jnp.int32) + mls, axis=1)
         match_pos = pos_end - mls
         bad = jnp.any(
             jnp.logical_or(
-                jnp.logical_and(mls > 0, offs.astype(jnp.int64) > match_pos),
+                jnp.logical_and(mls > 0, offs.astype(jnp.int32) > match_pos),
                 lls < 0,
             ),
             axis=1,
