@@ -259,3 +259,46 @@ def test_huffman_speculative_decode(case):
     )
     assert int(n) == len(data)
     assert bytes(np.asarray(out)[: len(data)]) == data
+
+
+@pytest.mark.parametrize("size,seed", [(4000, 0), (700, 1), (12000, 2)])
+def test_huffman_decode_bitreach_matches_spec(size, seed):
+    # The loop-free bit-reachability decoder must agree with the
+    # chunk-speculation decoder (and the ground truth) bit-for-bit.
+    from zeekstd_tpu.ops.huffman_spec import (
+        decode_stream_bitreach,
+        decode_stream_spec,
+    )
+
+    rng = np.random.default_rng(seed)
+    lits = bytes(
+        rng.choice(np.frombuffer(text_data(400), np.uint8), size).tobytes()
+    )
+    weights, codes, nb, max_bits = build_huffman(lits)
+    stream = huf.encode_stream(lits, codes, nb)
+    dtable = huf.build_decode_table(list(weights[:-1]))  # last weight implied
+    from zeekstd_tpu.codec.bitstream import BackwardBitReader
+
+    br = BackwardBitReader(stream)
+    start_bits = br.remaining
+    padded = stream.ljust((len(stream) + 3) // 4 * 4, b"\0")
+    words = jnp.asarray(np.frombuffer(padded, "<u4"))
+    sym_t = np.zeros(2048, np.int32)
+    nb_t = np.zeros(2048, np.int32)
+    size_t = 1 << dtable.max_bits
+    sym_t[:size_t] = dtable.symbol
+    nb_t[:size_t] = dtable.nb_bits
+    out_bound = 1 << (len(lits) - 1).bit_length()
+
+    a, na = decode_stream_spec(
+        words, jnp.int32(start_bits), out_bound, jnp.asarray(sym_t),
+        jnp.asarray(nb_t), jnp.asarray(np.int32(dtable.max_bits)),
+    )
+    b, nbs = decode_stream_bitreach(
+        words, jnp.int32(start_bits), out_bound, jnp.asarray(sym_t),
+        jnp.asarray(nb_t), jnp.asarray(np.int32(dtable.max_bits)),
+        interpret=True,
+    )
+    assert int(na) == int(nbs) == len(lits)
+    assert bytes(np.asarray(a)[: len(lits)]) == lits
+    assert np.array_equal(np.asarray(a)[: len(lits)], np.asarray(b)[: len(lits)])

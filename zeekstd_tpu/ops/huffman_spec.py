@@ -133,3 +133,79 @@ def decode_stream_spec(
 decode_stream_spec_jit = jax.jit(
     decode_stream_spec, static_argnames=("out_bound", "chunk_bits")
 )
+
+
+def decode_stream_bitreach(
+    words,
+    start_bits,
+    out_bound: int,
+    table_symbol,
+    table_nbits,
+    max_bits,
+    interpret: bool = False,
+):
+    """Decode one backward Huffman stream with NO per-symbol loop at all.
+
+    The chunk-speculation scan above still walks symbols sequentially
+    within a chunk — a ``lax.scan`` whose body gathers, the slowest shape
+    on this hardware. This formulation removes the loop entirely:
+
+    1. Peek windows at EVERY bit offset come from 32 static shifts of the
+       word array (pure elementwise — no gather), flipped/rolled into
+       "distance from stream top" coordinates.
+    2. One packed table lookup per bit position gives (symbol, nbits);
+       ``nbits`` is the step of a forward chain over bit positions whose
+       visited set is exactly the decoded symbol sequence.
+    3. Code steps are <= 11 bits, so the chain is local: the Mosaic
+       chunked reachability kernel (ops/pallas_kernels.reachability_chunked,
+       built for the encoder's greedy parse) marks the chain positions.
+    4. Symbols compact to the output by cumsum + scatter.
+
+    Same signature/result as ``decode_stream_spec``.
+    """
+    from .pallas_kernels import reachability_chunked
+
+    W = words.shape[0]
+    n_reach = max(-(-W * 32 // 1024) * 1024, 1024)  # kernel tile granularity
+    mb = max_bits.astype(jnp.uint32)
+
+    # Peek value ending at stream bit b, for all b, via static shifts:
+    # ext bit t == stream bit t-32 (one zero word below bit 0 reproduces
+    # the zero-fill of codes that read past the stream bottom).
+    ext = jnp.concatenate([jnp.zeros(1, jnp.uint32), words.astype(jnp.uint32)])
+    w1 = jnp.concatenate([ext[1:], jnp.zeros(1, jnp.uint32)])
+    win = [ext & jnp.uint32(0x7FF)]
+    for sh in range(1, 32):
+        win.append(
+            ((ext >> jnp.uint32(sh)) | (w1 << jnp.uint32(32 - sh)))
+            & jnp.uint32(0x7FF)
+        )
+    allv = jnp.stack(win, axis=1).reshape(-1)  # allv[t] = ext bits [t, t+11)
+
+    # Chain position p (symbols decoded top-down) peeks stream bits
+    # [start_bits - p - max_bits, start_bits - p) = allv[base - p] with
+    # base = start_bits + 32 - max_bits; flip + roll turns the reversed
+    # traced indexing into elementwise ops.
+    L = allv.shape[0]
+    flipped = allv[::-1]
+    if L < n_reach:
+        flipped = jnp.concatenate([flipped, jnp.zeros(n_reach - L, jnp.uint32)])
+    base = start_bits + 32 - max_bits
+    peek = jnp.roll(flipped, -(L - 1 - base))[:n_reach]
+    peek = peek & ((jnp.uint32(1) << mb) - 1)
+
+    packed_tab = (table_symbol.astype(jnp.int32) & 0xFF) | (
+        jnp.clip(table_nbits.astype(jnp.int32), 1, 31) << 8
+    )
+    packed = jnp.take(packed_tab, jnp.clip(peek.astype(jnp.int32), 0, 2047))
+    sym = (packed & 0xFF).astype(jnp.uint8)
+    step = packed >> 8  # in [1, 11] for well-formed tables
+
+    reach = reachability_chunked(step, n_reach, n_reach, interpret=interpret)
+    p = jnp.arange(n_reach, dtype=jnp.int32)
+    emit = jnp.logical_and(reach, p < start_bits)
+    n_sym = jnp.sum(emit.astype(jnp.int32))
+    idx = jnp.cumsum(emit.astype(jnp.int32)) - emit.astype(jnp.int32)
+    out = jnp.zeros(out_bound, jnp.uint8)
+    out = out.at[jnp.where(emit, idx, out_bound)].set(sym, mode="drop")
+    return out, n_sym

@@ -528,8 +528,9 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
 
     from ..codec import sequences as seq_mod
     from ..ops.entropy import fse_decode_sequences
-    from ..ops.huffman_spec import decode_stream_spec
+    from ..ops.huffman_spec import decode_stream_bitreach, decode_stream_spec
     from ..ops.seq_exec import execute_sequences_batch
+    import os as _osm
 
     key = ("dec", _mesh_key(mesh), shapes_key, out_bound)
     if key in _sh_fns:
@@ -537,13 +538,19 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
     axis = mesh.axis_names[0]
     (J, huf_word_bound, huf_out_bound, NB, fse_word_bound, dec_seq_bound,
      F_loc, S, L, static_len, n_consts) = shapes_key
+    huf_dec = (
+        decode_stream_bitreach
+        if jax.default_backend() == "tpu"
+        and _osm.environ.get("ZEEKSTD_TPU_HUF") != "spec"
+        else decode_stream_spec
+    )
 
     def per_device(hw, hstart, hsym, hnb, hmb,
                    fw, fstart, fnseq, dls, dln, dlb, dos, don, dob, dms, dmn,
                    dmb, logs,
                    map_seq, lit_map, static_lits, chunk_v, c_ll, c_ml, c_of):
         dec = jax.vmap(
-            lambda w, s, sym, nb, mb: decode_stream_spec(
+            lambda w, s, sym, nb, mb: huf_dec(
                 w, s, huf_out_bound, sym, nb, mb
             )[0]
         )(hw, hstart, hsym, hnb, hmb)

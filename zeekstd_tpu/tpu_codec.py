@@ -387,15 +387,22 @@ def _get_huf_decode_fn(word_bound: int, out_bound: int):
     jax, jnp = _lazy_jax()
     key = ("huf_dec", word_bound, out_bound)
     if key not in _fns:
-        from .ops.huffman_spec import decode_stream_spec
+        from .ops.huffman_spec import decode_stream_bitreach, decode_stream_spec
+
+        # On TPU the loop-free bit-reachability decoder applies (Mosaic
+        # chunk kernels); elsewhere the chunk-speculation scan is the twin.
+        # The count is implied by the stream and validated against out_len
+        # by the seek-table/frame-size checks downstream.
+        import os
+
+        use_bitreach = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("ZEEKSTD_TPU_HUF") != "spec"
+        )
 
         def one(words, start_bits, sym, nb, max_bits):
-            # Scan-free speculative decode (ops/huffman_spec.py); the count
-            # is implied by the stream and validated against out_len by the
-            # seek-table/frame-size checks downstream.
-            out, _n = decode_stream_spec(
-                words, start_bits, out_bound, sym, nb, max_bits
-            )
+            dec = decode_stream_bitreach if use_bitreach else decode_stream_spec
+            out, _n = dec(words, start_bits, out_bound, sym, nb, max_bits)
             return out
 
         _fns[key] = jax.jit(jax.vmap(one))
