@@ -65,16 +65,18 @@ def build_sequence_layout(lls, mls, offs, out_bound: int):
     lit_starts = jnp.cumsum(lls) - lls
 
     # Rightmost segment whose start <= p (zero-length padding collapses):
-    # scatter each segment's index at its start, then running max. The
-    # scatter-max resolves ties (equal starts) to the largest index, same
-    # as searchsorted(side="right") - 1.
+    # scatter-add one per segment start, then the prefix count minus one is
+    # exactly searchsorted(side="right") - 1 (ties at equal starts resolve
+    # to the largest index because every tied start adds to the count).
+    # NOT scatter-max + associative_scan(maximum): that formulation sends
+    # the TPU compiler into a ~45-minute compile at out_bound = 2^20,
+    # while scatter-add + cumsum (a native prefix-sum window op) compiles
+    # in seconds.
     p = jnp.arange(out_bound, dtype=jnp.int32)
     # mode="drop" (not clip): trailing zero-length padding segments whose
-    # start equals out_bound must not land their index on the last slot.
-    seg = jnp.zeros(out_bound, jnp.int32).at[starts].max(
-        jnp.arange(nseq, dtype=jnp.int32), mode="drop"
-    )
-    i = jax.lax.associative_scan(jnp.maximum, seg)
+    # start equals out_bound must not add to the last slot's count.
+    counts = jnp.zeros(out_bound, jnp.int32).at[starts].add(1, mode="drop")
+    i = jnp.clip(jnp.cumsum(counts) - 1, 0, nseq - 1)
 
     # One row gather for all per-position segment fields.
     fields = jnp.stack([starts, lls, offs, lit_starts], axis=1)  # (nseq, 4)
