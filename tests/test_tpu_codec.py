@@ -130,3 +130,17 @@ def test_tpu_archive_decode_checksum_error():
     bad[len(bad) // 2] ^= 0x10
     with _pytest.raises(ZeekstdError):
         tpu_decompress_archive(bytes(bad), st)
+
+
+def test_tpu_archive_decode_escalates_shallow_doublings(monkeypatch):
+    # With the primary program forced to depth 0, every match-bearing frame
+    # is unconverged after the shallow pass; the decoder must escalate to
+    # the full-depth program and still produce exact bytes (no host
+    # fallback, no error).
+    import zeekstd_tpu.tpu_archive as ta
+
+    data = text_data(200_000)
+    blob, st = ta.tpu_compress_archive(data, frame_size=64 << 10)
+    monkeypatch.setattr(ta, "FAST_DOUBLINGS", 0)
+    out = ta.tpu_decompress_archive(blob, st)
+    assert out == data

@@ -78,11 +78,21 @@ def write_num_sequences(n: int) -> bytes:
     raise corruption_detected("too many sequences for one block")
 
 
-def _choose_table(codes, category: str, default_norm, default_log, max_code, max_log, prev_table=None):
+def _choose_table(codes, category: str, default_norm, default_log, max_code, max_log, prev_table=None, hist=None):
     """Pick the cheapest of RLE / predefined / FSE_Compressed / Repeat for
-    one category. Returns (mode, enc_table, desc_bytes, cost_bits_estimate)."""
-    n = len(codes)
-    hist = np.bincount(codes, minlength=max_code + 1).astype(np.int64)
+    one category. Returns (mode, enc_table, desc_bytes, cost_bits_estimate).
+
+    ``codes`` may be None when ``hist`` (an int64 histogram over the code
+    alphabet) is given — the stats-pull path already has histograms and
+    synthesizing a codes array just to re-count it is pure overhead."""
+    if hist is None:
+        n = len(codes)
+        hist = np.bincount(codes, minlength=max_code + 1).astype(np.int64)
+    else:
+        hist = np.asarray(hist, np.int64)
+        if len(hist) < max_code + 1:
+            hist = np.pad(hist, (0, max_code + 1 - len(hist)))
+        n = int(hist.sum())
 
     if np.count_nonzero(hist) == 1:
         sym = int(np.argmax(hist))

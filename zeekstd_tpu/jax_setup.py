@@ -56,17 +56,31 @@ def ensure_cache() -> None:
         pass
 
 
-_TIMING = os.environ.get("ZEEKSTD_TPU_TIMING") == "1"
+_TIMING = os.environ.get("ZEEKSTD_TPU_TIMING") in ("1", "2")
+_FENCE = os.environ.get("ZEEKSTD_TPU_TIMING") == "2"
 
 
 class phase_timer:
     """``with phase_timer("parse"):`` prints the phase wall time to stderr
-    when ZEEKSTD_TPU_TIMING=1; free otherwise."""
+    when ZEEKSTD_TPU_TIMING=1; free otherwise.
 
-    __slots__ = ("name", "t0")
+    ZEEKSTD_TPU_TIMING=2 additionally *fences* device work at phase exit:
+    pass the phase's output array(s) to ``fence(...)`` and a tiny scalar
+    reduction is pulled to host before the timer stops (block_until_ready
+    can return early through the axon tunnel, so only a pull fences
+    reliably). This attributes async device execution to the phase that
+    dispatched it — for profiling only, it serializes the pipeline."""
+
+    __slots__ = ("name", "t0", "_arrs")
 
     def __init__(self, name: str):
         self.name = name
+        self._arrs = ()
+
+    def fence(self, *arrs):
+        if _FENCE:
+            self._arrs = arrs
+        return self
 
     def __enter__(self):
         if _TIMING:
@@ -75,6 +89,14 @@ class phase_timer:
 
     def __exit__(self, *exc):
         if _TIMING:
+            if self._arrs and not any(exc):
+                import numpy as _np
+
+                for a in self._arrs:
+                    try:
+                        _np.asarray(a[..., :1])
+                    except Exception:
+                        pass
             print(
                 f"[tpu-timing] {self.name}: {time.time() - self.t0:.3f}s",
                 file=sys.stderr,

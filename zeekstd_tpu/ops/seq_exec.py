@@ -107,34 +107,45 @@ def resolve_copy_chains(src, n_doublings: int | None = None):
     return src
 
 
-def execute_sequences_tpu(literals, lls, mls, offs, out_bound: int):
+def execute_sequences_tpu(
+    literals, lls, mls, offs, out_bound: int, n_doublings: int | None = None
+):
     """Decode one frame's sequences entirely on device.
 
     literals: uint8[lit_bound]; lls/mls/offs: int32[seq_bound] (padded with
     zeros; trailing literals are passed as a final sequence with ml=0).
     Returns (out uint8[out_bound], converged bool); the caller slices the
     valid prefix and may verify convergence (chains deeper than
-    2^N_DOUBLINGS segments — never observed — leave non-literal sources).
+    2^n_doublings segments leave non-literal sources — tpu_archive
+    escalates to a deeper program, then to the host decoder).
+
+    Every full-size gather costs ~5-10ms per 1M positions on this
+    hardware, so the pass count IS the runtime: lit_idx and is_lit ride
+    one packed gather, and callers pick n_doublings by expected nesting
+    depth (text rarely nests deeper than a few segments).
     """
     src, lit_idx, is_lit = build_sequence_layout(lls, mls, offs, out_bound)
-    final = resolve_copy_chains(src)
+    final = resolve_copy_chains(src, n_doublings)
     total = jnp.sum(lls + mls)
     in_range = jnp.arange(out_bound, dtype=jnp.int32) < total
-    converged = jnp.all(jnp.logical_or(is_lit[final], ~in_range))
-    # final[p] is a literal position; map through its literal index.
-    take = lit_idx[final]
-    take = jnp.clip(take, 0, literals.shape[0] - 1)
+    # One gather for (lit_idx, is_lit) at the resolved position.
+    packed = (lit_idx << 1) | is_lit.astype(jnp.int32)
+    pf = packed[final]
+    converged = jnp.all(jnp.logical_or((pf & 1).astype(bool), ~in_range))
+    take = jnp.clip(pf >> 1, 0, literals.shape[0] - 1)
     return literals[take], converged
 
 
 execute_sequences_tpu_jit = jax.jit(
-    execute_sequences_tpu, static_argnames=("out_bound",)
+    execute_sequences_tpu, static_argnames=("out_bound", "n_doublings")
 )
 
 
-def execute_sequences_batch(literals, lls, mls, offs, out_bound: int):
+def execute_sequences_batch(
+    literals, lls, mls, offs, out_bound: int, n_doublings: int | None = None
+):
     """vmapped multi-frame variant: leading axis = frames. Returns
     (out uint8[frames, out_bound], converged bool[frames])."""
-    return jax.vmap(lambda l, a, b, c: execute_sequences_tpu(l, a, b, c, out_bound))(
-        literals, lls, mls, offs
-    )
+    return jax.vmap(
+        lambda l, a, b, c: execute_sequences_tpu(l, a, b, c, out_bound, n_doublings)
+    )(literals, lls, mls, offs)

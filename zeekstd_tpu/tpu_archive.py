@@ -37,6 +37,11 @@ import os as _os
 # smaller blocks directly widen the device's parallel batch and shorten
 # the sequential state chains. ~0.3% size cost on text at 32 KiB.
 BLOCK_SIZE = int(_os.environ.get("ZEEKSTD_TPU_BLOCK", 32 << 10))
+
+# Doubling depth of the primary sequence-execution program: covers copy
+# chains up to 2^5 = 32 match segments deep (text rarely exceeds a few).
+# Deeper nesting escalates to the full-depth program, then host fallback.
+FAST_DOUBLINGS = 5
 assert BLOCK_SIZE <= ZSTD_BLOCK_SIZE_MAX
 
 _fns = {}
@@ -343,10 +348,9 @@ def _host_jobs(
             ("of", of_hist[f, b], (seq_mod.OF_DEFAULT_NORM, seq_mod.OF_DEFAULT_LOG, 31, 8)),
             ("ml", ml_hist[f, b], (seq_mod.ML_DEFAULT_NORM, seq_mod.ML_DEFAULT_LOG, 52, 9)),
         ):
-            codes_syn = np.repeat(
-                np.arange(len(hist), dtype=np.int64), hist.astype(np.int64)
+            choices[cat] = _choose_table(
+                None, cat, *defaults[:2], defaults[2], defaults[3], hist=hist
             )
-            choices[cat] = _choose_table(codes_syn, cat, *defaults[:2], defaults[2], defaults[3])
         d["tables"] = choices
         d["fse_job"] = len(fse_jobs)
         fse_jobs.append(d)
@@ -507,11 +511,12 @@ def tpu_compress_archive(
         lengths[i] = len(chunk)
 
     # --- dispatch 1: parse + stats ---------------------------------------
-    with phase_timer("enc.parse_dispatch"):
+    with phase_timer("enc.parse_dispatch") as _pt:
         parse = _parse_stats_packed_fn(frame_size, seq_bound, B)
         (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d) = parse(
             jnp.asarray(frames), jnp.asarray(lengths)
         )
+        _pt.fence(stats_d)
 
     # Pull ONLY the small stats — one transfer for all of them.
     with phase_timer("enc.stats_pull"):
@@ -556,6 +561,7 @@ def tpu_compress_archive(
             jnp.asarray(fin["of_dn"]), jnp.asarray(fin["of_df"]), jnp.asarray(fin["of_st"]),
             jnp.asarray(fin["llog"]), jnp.asarray(fin["mlog"]), jnp.asarray(fin["olog"]),
         )
+        _t_fse.fence(fse_words)
     _t_fse.__exit__()
 
     # --- dispatch 3: Huffman streams (words stay on device) ---------------
@@ -569,6 +575,7 @@ def tpu_compress_archive(
             lits_d[hin["fidx"]], jnp.asarray(hin["starts"]), jnp.asarray(hin["ns"]),
             jnp.asarray(hin["codes"]), jnp.asarray(hin["nbs"]),
         )
+        _t_huf.fence(huf_words)
     _t_huf.__exit__()
 
     # One round trip for both small bit-count arrays (each separate pull on
@@ -613,6 +620,7 @@ def tpu_compress_archive(
         huf_words, jnp.asarray(np.asarray(huf_bits, np.int32)),
         lits_d, jnp.asarray(frames),
     )
+    _t_dev.fence(rows_dev)
     _t_dev.__exit__()
 
     st = SeekTable()
@@ -784,16 +792,17 @@ def tpu_decompress_archive(
         return b""
 
     # --- device dispatch 1: all Huffman streams (stay on device) ----------
-    with phase_timer("dec.huf_batch"):
+    with phase_timer("dec.huf_batch") as _pt:
         stream_list = []
         for _, plan, _ in plans:
             for kind, *args in plan:
                 if kind == "cmp" and "streams" in args[0]:
                     stream_list.extend(args[0]["streams"])
         dec_streams, huf_out_bound = _huf_batch_dev(stream_list)
+        _pt.fence(dec_streams)
 
     # --- device dispatch 2: all FSE sequence streams (stay on device) -----
-    with phase_timer("dec.fse_batch"):
+    with phase_timer("dec.fse_batch") as _pt2:
         seq_blocks = []
         frame_rows = []  # per frame: list of batch-row indices
         for _, plan, _ in plans:
@@ -804,6 +813,7 @@ def tpu_decompress_archive(
                     seq_blocks.append(args[0])
             frame_rows.append(rows)
         lls_b, mls_b, offs_b, ofvs_b, dec_seq_bound = _fse_batch_dev(seq_blocks)
+        _pt2.fence(lls_b)
 
     # Cross-block repeat-offset carry: only frames that use repeat codes
     # beyond their first block need the sequential host fix (our encoder
@@ -965,8 +975,8 @@ def tpu_decompress_archive(
         )
 
     # --- device dispatch 3: assemble triples + execute ---------------------
-    with phase_timer("dec.exec_dispatch"):
-        fn = _dec_exec_fn(
+    with phase_timer("dec.exec_dispatch") as _pt3:
+        exec_shapes = (
             (NB, dec_seq_bound), dec_streams.shape, (F, S), (F, L),
             static_np.shape[0], consts_np.shape[0], out_bound,
         )
@@ -974,7 +984,7 @@ def tpu_decompress_archive(
             np.asarray([d["nseq"] for d in seq_blocks], np.int32)
             if seq_blocks else np.zeros(NB, np.int32)
         )
-        out_dev, totals_dev, bad_dev, conv_dev = fn(
+        exec_args = (
             lls_b, mls_b, offs_b, nseq_dev,
             jnp.asarray(chunk_lits.astype(np.int32)),
             jnp.asarray(consts_np[:, 0].astype(np.int32)),
@@ -983,10 +993,25 @@ def tpu_decompress_archive(
             jnp.asarray(map_seq), jnp.asarray(lit_map),
             jnp.asarray(static_np), dec_streams,
         )
+        # Shallow program first: every doubling pass is a full-size gather
+        # (~5-10ms per 1M positions on this chip), and text rarely nests
+        # match copies deeper than 2^FAST_DOUBLINGS segments.
+        fn = _dec_exec_fn(*exec_shapes, n_doublings=FAST_DOUBLINGS)
+        out_dev, totals_dev, bad_dev, conv_dev = fn(*exec_args)
+        _pt3.fence(out_dev)
+
+    conv_np = np.asarray(conv_dev)
+    if not conv_np.all():
+        # Deep copy-chain nesting: escalate to the full-depth program
+        # (separate cached compile) before any host fallback.
+        with phase_timer("dec.exec_deep"):
+            fn = _dec_exec_fn(*exec_shapes, n_doublings=None)
+            out_dev, totals_dev, bad_dev, conv_dev = fn(*exec_args)
+            conv_np = np.asarray(conv_dev)
 
     if return_device:
         out_dev.block_until_ready()
-        if not np.asarray(conv_dev).all():
+        if not conv_np.all():
             # Copy chains deeper than 2^N_DOUBLINGS segments (pathological
             # nesting): the device rows are not trustworthy; callers that
             # need the bytes use the pulled path, which falls back per frame.
@@ -1004,7 +1029,6 @@ def tpu_decompress_archive(
         out = np.asarray(out_dev)
         totals_np = np.asarray(totals_dev)
         bad_np = np.asarray(bad_dev)
-        conv_np = np.asarray(conv_dev)
         parts = []
         for i, (hdr, plan, cpos) in enumerate(plans):
             if not conv_np[i]:
@@ -1168,8 +1192,8 @@ def _dec_totals_fn(seq_shape, map_shape, n_consts):
     return _fns[key]
 
 
-def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_consts, out_bound):
-    key = ("dec_exec", seq_shape, dec_shape, map_shape, lit_shape, static_len, n_consts, out_bound)
+def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_consts, out_bound, n_doublings=None):
+    key = ("dec_exec", seq_shape, dec_shape, map_shape, lit_shape, static_len, n_consts, out_bound, n_doublings)
     if key in _fns:
         return _fns[key]
     jax, jnp = _jx()
@@ -1192,7 +1216,9 @@ def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_const
         offs = of_pool[map_seq]
         lit_flat = jnp.concatenate([static_lits, dec_streams.reshape(-1)])
         lits = lit_flat[lit_map].astype(jnp.uint8)
-        out, conv = execute_sequences_batch(lits, lls, mls, offs, out_bound)
+        out, conv = execute_sequences_batch(
+            lits, lls, mls, offs, out_bound, n_doublings
+        )
         totals = jnp.sum(lls.astype(jnp.int32) + mls, axis=1)
         # Corruption flags (hostile-input taxonomy, reference:
         # lib/src/seek_table.rs:145-184 analog for frame payloads): a match
