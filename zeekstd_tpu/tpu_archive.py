@@ -294,10 +294,18 @@ def _host_jobs(
             blocks.append(desc)
 
     # Literal mode decisions + Huffman tables (host, from histograms).
+    # Blocks reuse the previous block's tree (Treeless_Literals_Block,
+    # RFC 8878 §3.1.1.1) when its code lengths price the new histogram no
+    # worse than a fresh tree + its serialized weights — that skips both
+    # the package-merge build (the hottest host loop here) and the tree
+    # bytes in the output. tree_id tracks which emitted tree a treeless
+    # block depends on so _plan_block can demote safely.
     huf_jobs = []  # stream-level jobs for the Huffman dispatch
+    prev_tree = {}  # frame -> (tree_id, nb int64[256], codes256, nb256)
+    tree_ids = iter(range(1, 1 << 30))
     for d in blocks:
         f, b = d["frame"], d["block"]
-        hist = lit_hist[f, b]
+        hist = lit_hist[f, b].astype(np.int64)
         nlit = d["nlit"]
         d["lit_mode"] = "raw"
         nz = np.nonzero(hist)[0]
@@ -309,24 +317,50 @@ def _host_jobs(
             continue
         if nlit < 64 or d["nseq"] == 0:
             continue
-        freqs = {int(s): int(hist[s]) for s in nz}
+
+        est_reuse = None
+        prev = prev_tree.get(f)
+        if prev is not None and np.all(prev[1][nz] > 0):
+            reuse_bits = int(np.dot(hist[nz], prev[1][nz]))
+            est_reuse = 6 + (reuse_bits + 7) // 8 + 4 + 5
+
+        tree = codes = nb = None
+        est_new = None
         try:
+            freqs = {int(s): int(hist[s]) for s in nz}
             lengths_map = huf.package_merge_lengths(freqs)
             weights = huf.lengths_to_weights(lengths_map, int(nz.max()))
             tree = huf.write_weights(weights)
             codes, nb, _ = huf.build_encode_table(weights)
+            stream_bits = int(
+                np.dot(hist[: len(nb)], np.asarray(nb, np.int64))
+            )
+            est_new = len(tree) + 6 + (stream_bits + 7) // 8 + 4 + 5
         except Exception:
+            pass
+
+        if est_reuse is not None and (est_new is None or est_reuse <= est_new):
+            if est_reuse >= nlit:
+                continue
+            d["lit_mode"] = "huf"
+            d["treeless"] = True
+            d["tree"] = b""
+            d["tree_id"] = prev[0]
+            codes256, nb256 = prev[2], prev[3]
+            est = est_reuse
+        elif est_new is not None and est_new < nlit:
+            d["lit_mode"] = "huf"
+            d["tree"] = tree
+            d["tree_id"] = next(tree_ids)
+            codes256 = np.zeros(256, np.uint32)
+            codes256[: len(codes)] = codes
+            nb256 = np.zeros(256, np.int32)
+            nb64 = np.zeros(256, np.int64)
+            nb256[: len(nb)] = nb
+            nb64[: len(nb)] = nb
+            prev_tree[f] = (d["tree_id"], nb64, codes256, nb256)
+        else:
             continue
-        stream_bits = int(sum(hist[s] * nb[s] for s in nz))
-        est = len(tree) + 6 + (stream_bits + 7) // 8 + 4 + 5
-        if est >= nlit:
-            continue
-        d["lit_mode"] = "huf"
-        d["tree"] = tree
-        codes256 = np.zeros(256, np.uint32)
-        codes256[: len(codes)] = codes
-        nb256 = np.zeros(256, np.int32)
-        nb256[: len(nb)] = nb
         seg = (nlit + 3) // 4
         segs = [seg, seg, seg, nlit - 3 * seg]
         d["huf_streams"] = []
@@ -336,21 +370,38 @@ def _host_jobs(
             huf_jobs.append((f, d["lit_lo"] + off, sl, codes256, nb256))
             off += sl
 
-    # Sequence table choices from code histograms.
+    # Sequence table choices from code histograms. Passing the previous
+    # block's chosen table enables Repeat_Mode (no description bytes, no
+    # table rebuild); tbl_id/dep_tbl_id let _plan_block verify the emitted
+    # chain before honoring a repeat.
     fse_jobs = []
+    prev_cat = {}  # (frame, cat) -> (tbl_id, enc_table)
+    cat_ids = iter(range(1, 1 << 30))
     for d in blocks:
         if d["nseq"] == 0:
             continue
         f, b = d["frame"], d["block"]
         choices = {}
+        d["tbl_id"] = {}
+        d["dep_tbl_id"] = {}
         for cat, hist, defaults in (
             ("ll", ll_hist[f, b], (seq_mod.LL_DEFAULT_NORM, seq_mod.LL_DEFAULT_LOG, 35, 9)),
             ("of", of_hist[f, b], (seq_mod.OF_DEFAULT_NORM, seq_mod.OF_DEFAULT_LOG, 31, 8)),
             ("ml", ml_hist[f, b], (seq_mod.ML_DEFAULT_NORM, seq_mod.ML_DEFAULT_LOG, 52, 9)),
         ):
-            choices[cat] = _choose_table(
-                None, cat, *defaults[:2], defaults[2], defaults[3], hist=hist
+            prev = prev_cat.get((f, cat))
+            choice = _choose_table(
+                None, cat, *defaults[:2], defaults[2], defaults[3],
+                prev_table=prev[1] if prev else None, hist=hist,
             )
+            choices[cat] = choice
+            if choice[0] == seq_mod.MODE_REPEAT:
+                d["tbl_id"][cat] = prev[0]
+                d["dep_tbl_id"][cat] = prev[0]
+            else:
+                tid = next(cat_ids)
+                d["tbl_id"][cat] = tid
+                prev_cat[(f, cat)] = (tid, choice[1])
         d["tables"] = choices
         d["fse_job"] = len(fse_jobs)
         fse_jobs.append(d)
@@ -461,12 +512,13 @@ def _layout_archive(
             f, frame_mod.write_frame_header(flen, max(flen, 1024), checksum)
         )
         n_blocks_f = -(-flen // BLOCK_SIZE)
+        emit_state = {"tree_id": None, "fse_ids": {}}
         for b in range(n_blocks_f):
             d = blocks[bi]
             assert d["frame"] == f and d["block"] == b
             bi += 1
             last = b == n_blocks_f - 1
-            _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits)
+            _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits, emit_state)
         if checksum:
             h = XXH64(0)
             h.update(fdata)
@@ -656,10 +708,17 @@ def _stream_len(bits: int) -> int:
     return int(bits) // 8 + 1
 
 
-def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits):
+def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits, emit_state=None):
     """Lay out one block's output segments. Every section length is
     host-exact here (stream byte counts come from the pulled bit counts),
-    so raw-vs-compressed is decided exactly like the host encoder."""
+    so raw-vs-compressed is decided exactly like the host encoder.
+
+    ``emit_state`` tracks which Huffman tree / FSE tables have actually
+    been EMITTED so far in this frame: a treeless or Repeat_Mode block
+    whose assumed predecessor was demoted to a raw block must demote too
+    (its reference would otherwise dangle — silent corruption)."""
+    if emit_state is None:
+        emit_state = {"tree_id": None, "fse_ids": {}}
     blen = d["len"]
     raw_block_off = b * BLOCK_SIZE
     nlit = d["nlit"]
@@ -669,6 +728,9 @@ def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits):
     if d["nseq"] > 0 and d.get("slice_shift", 0) == 0:
         # Literals section layout.
         mode = d["lit_mode"]
+        treeless = bool(d.get("treeless"))
+        if mode == "huf" and treeless and emit_state["tree_id"] != d["tree_id"]:
+            mode = "raw"  # defining tree was demoted; reference would dangle
         if mode == "huf":
             parts = [_stream_len(huf_bits[sj]) for sj in d["huf_streams"]]
             if any(p > 0xFFFF for p in parts[:3]):
@@ -677,7 +739,8 @@ def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits):
                 payload_len = len(d["tree"]) + 6 + sum(parts)
                 try:
                     hdr = lit_mod.write_literals_header(
-                        lit_mod.LIT_COMPRESSED, nlit, payload_len, True
+                        lit_mod.LIT_TREELESS if treeless else lit_mod.LIT_COMPRESSED,
+                        nlit, payload_len, True,
                     )
                 except Exception:
                     mode = "raw"
@@ -705,15 +768,22 @@ def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits):
                 plan.add_static(f, hdr)
                 plan.add_lits(f, f, d["lit_lo"], nlit)
 
-        # Sequences section layout.
-        seq_static = bytearray(write_num_sequences(d["nseq"]))
-        ll_mode, of_mode, ml_mode = (
-            d["tables"]["ll"][0], d["tables"]["of"][0], d["tables"]["ml"][0]
-        )
-        seq_static.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
-        seq_static += d["tables"]["ll"][2] + d["tables"]["of"][2] + d["tables"]["ml"][2]
-        fse_len = _stream_len(fse_bits[d["fse_job"]])
-        body_len = sec_len + len(seq_static) + fse_len
+        # Sequences section layout. A Repeat_Mode table is honored only
+        # when the table it repeats is the one actually emitted so far.
+        for cat in ("ll", "of", "ml"):
+            dep = d.get("dep_tbl_id", {}).get(cat)
+            if dep is not None and emit_state["fse_ids"].get(cat) != dep:
+                body_len = None
+                break
+        else:
+            seq_static = bytearray(write_num_sequences(d["nseq"]))
+            ll_mode, of_mode, ml_mode = (
+                d["tables"]["ll"][0], d["tables"]["of"][0], d["tables"]["ml"][0]
+            )
+            seq_static.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
+            seq_static += d["tables"]["ll"][2] + d["tables"]["of"][2] + d["tables"]["ml"][2]
+            fse_len = _stream_len(fse_bits[d["fse_job"]])
+            body_len = sec_len + len(seq_static) + fse_len
 
     if body_len is None or body_len >= blen:
         # Raw / RLE fallback block.
@@ -736,6 +806,14 @@ def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits):
     emit_lits()
     plan.add_static(f, bytes(seq_static))
     plan.add_fse(f, d["fse_job"], fse_len)
+    # Record what this block actually emitted for downstream references
+    # (``mode`` is the literal mode actually used, after any demotion).
+    if mode == "huf" and not treeless and "tree_id" in d:
+        emit_state["tree_id"] = d["tree_id"]
+    for cat in ("ll", "of", "ml"):
+        tid = d.get("tbl_id", {}).get(cat)
+        if tid is not None:
+            emit_state["fse_ids"][cat] = tid
 
 
 def tpu_decompress_archive(
