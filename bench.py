@@ -216,13 +216,16 @@ def bench_tpu(corpus: bytes, frame_size: int):
             f"warmup {warm_enc:.0f}s+{warm_dec:.0f}s"
         )
         log(
-            "tpu accounting: encode time is ~75% match parse (gather-bound: "
-            "hash-bucket strip gathers + log-depth reachability joins; random "
-            "gathers cost ~5ms per 1M elements on this chip), remainder small "
-            "host table builds + FSE/Huffman/assembly dispatches. decode time "
-            "is ~25% FSE sequence decode, ~70% Huffman decode + sequence "
-            "execution (pointer-doubling gathers). e2e adds the ~5 MB/s "
-            "device->host tunnel pull, an environment artifact."
+            "tpu accounting (fenced per-stage, ZEEKSTD_TPU_TIMING=2): encode "
+            "= ~45% match parse (gather-bound: hash-bucket strip gathers + "
+            "Mosaic chunk reachability; random gathers cost ~5-10ms per 1M "
+            "elements on this chip), ~20% host entropy-table decisions, ~20% "
+            "FSE bitstreams, ~10% device assembly. decode = ~55% sequence "
+            "execution (each doubling pass is a full-size gather; shallow "
+            "5-pass program with depth escalation), ~17% FSE decode, ~13% "
+            "host frame planning, ~8% bit-reachability Huffman decode. e2e "
+            "adds the ~5 MB/s device->host tunnel pull, an environment "
+            "artifact."
         )
         return enc_dev, dec_dev, len(blob) / n, detail
     except Exception as e:

@@ -35,6 +35,18 @@ def ensure_cache() -> None:
         or os.environ.get("JAX_PLATFORMS")
         or "dev"
     )
+    try:
+        # A config-forced platform (jax.config.update("jax_platforms", ...))
+        # overrides the env vars — conftest and standalone CPU scripts use
+        # it because the axon plugin ignores the env spelling. Reading the
+        # config does NOT initialize any backend.
+        import jax
+
+        cfg = getattr(jax.config, "jax_platforms", None)
+        if cfg:
+            plat = cfg.split(",")[0]
+    except Exception:
+        pass
     if plat == "cpu" and not cache_dir:
         # CPU compiles are fast and XLA:CPU AOT cache entries warn loudly
         # about host-feature mismatches between processes; the cache only
