@@ -266,10 +266,15 @@ def main() -> int:
     log(f"corpus: {n} bytes ({time.time()-t_bench:.1f}s)")
 
     frame_size = 1 << 20
+    # The native path prefers 512 KiB frames: 20 work units over 4 threads
+    # balance the dynamic frame scheduler (vs 10 units = a 3/3/2/2 split,
+    # +13% measured MT decode) at ~0.1pp ratio cost. The TPU path keeps
+    # 1 MiB frames — its compiled-shape cache is keyed on them.
+    frame_size_nat = 512 << 10
     ref = bench_samehost_libzstd(corpus)
     if ref:
         log(f"same-host libzstd L1: {ref[0]:.1f} MiB/s ratio {ref[1]*100:.1f}%")
-    native = bench_native(corpus, frame_size)
+    native = bench_native(corpus, frame_size_nat)
     if native:
         log(
             f"native: enc {native[0]:.1f} MiB/s dec {native[1]:.1f} MiB/s "
@@ -278,7 +283,7 @@ def main() -> int:
         _result.update(
             metric=(
                 f"seekable archive encode MiB/s, {n >> 20}MiB dickens-like text, "
-                f"{frame_size >> 20}MiB frames, ratio {native[2]*100:.1f}% "
+                f"{frame_size_nat >> 10}KiB native frames, ratio {native[2]*100:.1f}% "
                 f"(native enc {native[0]:.0f}/dec {native[1]:.0f}; tpu pending)"
             ),
             value=round(native[0], 2),
@@ -361,7 +366,8 @@ def main() -> int:
     _result.update(
         metric=(
             f"seekable archive encode MiB/s, {n >> 20}MiB dickens-like text, "
-            f"{frame_size >> 20}MiB frames, ratio {ratio*100:.1f}% ({'; '.join(detail)})"
+            f"{frame_size_nat >> 10}KiB native / {frame_size >> 20}MiB tpu "
+            f"frames, ratio {ratio*100:.1f}% ({'; '.join(detail)})"
         ),
         value=round(best_enc, 2),
         vs_baseline=round(best_enc / BASELINE_ENCODE_MIBS, 4),
