@@ -207,6 +207,10 @@ struct FseDecTable {
   u16 baseline[512];
   // Hot-loop form: symbol | nbits<<8 | baseline<<16 in one load.
   u32 packed[512];
+  // Sequence-decode form (ll/ml tables only; filled by fill_packed2):
+  // value_base | extra_bits<<20 | state_bits<<26 | state_base<<34.
+  // One load replaces packed + the LL_BB/ML_BB indirection.
+  u64 packed2[512];
 };
 
 struct FseEncTable {
@@ -778,6 +782,21 @@ static inline int ml_code(u32 ml) {
 // Global predefined encode/decode tables (built once).
 static FseEncTable g_ll_def_enc, g_ml_def_enc, g_of_def_enc;
 static FseDecTable g_ll_def_dec, g_ml_def_dec, g_of_def_dec;
+// Fill the fused sequence-decode entries for a ll (max_code 35) or ml
+// (52) table; of tables (31) keep the code-form packed entry (the code is
+// the shift count the offset computation needs).
+static void fill_packed2(FseDecTable* t, int max_code) {
+  if (max_code != 35 && max_code != 52) return;
+  const u32* vb = max_code == 35 ? LL_BASE : ML_BASE;
+  const u8* vbits = max_code == 35 ? LL_BITS : ML_BITS;
+  int size = 1 << t->log;
+  for (int u = 0; u < size; u++) {
+    int sym = t->symbol[u];
+    t->packed2[u] = (u64)vb[sym] | ((u64)vbits[sym] << 20) |
+                    ((u64)t->nbits[u] << 26) | ((u64)t->baseline[u] << 34);
+  }
+}
+
 static bool g_defaults_ready = false;
 static void ensure_defaults() {
   if (g_defaults_ready) return;
@@ -788,6 +807,8 @@ static void ensure_defaults() {
   fse_build_dec(LL_DEF_NORM, 36, 6, &g_ll_def_dec);
   fse_build_dec(ML_DEF_NORM, 53, 6, &g_ml_def_dec);
   fse_build_dec(OF_DEF_NORM, 29, 5, &g_of_def_dec);
+  fill_packed2(&g_ll_def_dec, 35);
+  fill_packed2(&g_ml_def_dec, 52);
   g_defaults_ready = true;
 }
 
@@ -1471,6 +1492,7 @@ static ptrdiff_t read_symbol_table(const u8* p, size_t len, int mode,
     slot->nbits[0] = 0;
     slot->baseline[0] = 0;
     slot->packed[0] = (u32)sym;
+    fill_packed2(slot, max_code);
     *have = true;
     *out = slot;
     return 1;
@@ -1480,6 +1502,7 @@ static ptrdiff_t read_symbol_table(const u8* p, size_t len, int mode,
     size_t c = fse_read_ncount(p, len, max_code, max_log, norm, &nsym, &log);
     if (!c) return -1;
     if (!fse_build_dec(norm, nsym, log, slot)) return -1;
+    fill_packed2(slot, max_code);
     *have = true;
     *out = slot;
     return (ptrdiff_t)c;
@@ -1805,17 +1828,16 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
           const size_t bl = br.len;
           while (i + 1 < nseq && br.rem >= 57) {
             u32 ofe = oft->packed[of_s];
-            u32 mle = mlt->packed[ml_s];
-            u32 lle = llt->packed[ll_s];
+            u64 mle2 = mlt->packed2[ml_s];
+            u64 lle2 = llt->packed2[ll_s];
             // Codes from decode tables are range-validated at build time, so
             // no per-sequence bounds check is needed here (slow path keeps
-            // one as a safety net).
+            // one as a safety net). The fused packed2 entries carry
+            // (value_base, extra_bits, state_bits, state_base) in one load.
             int of_code = ofe & 0xFF;
-            u32 mlbb = ML_BB[mle & 0xFF];
-            u32 llbb = LL_BB[lle & 0xFF];
-            int mlb = mlbb & 63, llb = llbb & 63;
+            int mlb = (int)((mle2 >> 20) & 63), llb = (int)((lle2 >> 20) & 63);
             int eb = of_code + mlb + llb;
-            int lb = (lle >> 8) & 0xFF, mb2 = (mle >> 8) & 0xFF, ob = (ofe >> 8) & 0xFF;
+            int lb = (int)((lle2 >> 26) & 0xFF), mb2 = (int)((mle2 >> 26) & 0xFF), ob = (ofe >> 8) & 0xFF;
             int ub = lb + mb2 + ob;
             if (eb + ub > 57) break;  // rare giant offset: slow path finishes
             i64 lo = br.rem - 57;
@@ -1825,14 +1847,14 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
             u64 extras = (w >> (57 - eb)) & ((1ULL << eb) - 1);
             u64 upd = (w >> (57 - eb - ub)) & ((1ULL << ub) - 1);
             u32 ofv = (1u << of_code) + (u32)(extras >> (mlb + llb));
-            u32 mlv = (mlbb >> 6) + (u32)((extras >> llb) & ((1u << mlb) - 1));
-            u32 llv = (llbb >> 6) + (u32)(extras & ((1u << llb) - 1));
+            u32 mlv = (u32)(mle2 & 0xFFFFF) + (u32)((extras >> llb) & ((1u << mlb) - 1));
+            u32 llv = (u32)(lle2 & 0xFFFFF) + (u32)(extras & ((1u << llb) - 1));
             // Leave all state untouched before this break: the slow loop
             // below re-decodes this sequence from the same bit position.
             if (wp + llv + mlv + 32 > wlimit) break;  // near the end: exact path
             br.rem -= eb + ub;
-            ll_s = (int)(lle >> 16) + (int)(upd >> (mb2 + ob));
-            ml_s = (int)(mle >> 16) + (int)((upd >> ob) & ((1u << mb2) - 1));
+            ll_s = (int)((lle2 >> 34) & 0xFFFF) + (int)(upd >> (mb2 + ob));
+            ml_s = (int)((mle2 >> 34) & 0xFFFF) + (int)((upd >> ob) & ((1u << mb2) - 1));
             of_s = (int)(ofe >> 16) + (int)(upd & ((1u << ob) - 1));
             // Branchless repeat-offset resolution (sel==0 means real offset).
             u32 sel = ofv <= 3 ? ofv + (llv == 0 ? 1u : 0u) : 0u;
