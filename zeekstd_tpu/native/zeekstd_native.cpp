@@ -1638,20 +1638,20 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
       const u8* lp = bp + hlen;
       size_t lrem = blen - hlen;
       size_t lit_n = regen;
-      const u8* litp;  // literal bytes + 16B readable slack for wild copies
+      const u8* litp;  // literal bytes + 32B readable slack for wild copies
       if (lit_type == 0) {
         if (lrem < regen) return -1;
-        if (lp + regen + 16 <= src + n) {
+        if (lp + regen + 32 <= src + n) {
           litp = lp;  // zero-copy: sequences execute straight from src
         } else {
           lits.assign(lp, lp + regen);
-          lits.resize(regen + 16);
+          lits.resize(regen + 32);
           litp = lits.data();
         }
         lp += regen; lrem -= regen;
       } else if (lit_type == 1) {
         if (lrem < 1) return -1;
-        lits.assign(regen + 16, lp[0]);
+        lits.assign(regen + 32, lp[0]);
         litp = lits.data();
         lp += 1; lrem -= 1;
       } else {
@@ -1720,7 +1720,7 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
         }
         if (!ctx.huf_ok) return -1;
         // streams
-        lits.resize(regen + 16);
+        lits.resize(regen + 32);
         litp = lits.data();
         auto dec_stream = [&](const u8* sp, size_t sn, u8* op, size_t on) -> bool {
           BitReaderBack br(sp, sn);
@@ -1870,7 +1870,13 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
               const u8* q = litp + lit_pos;
               u8* o = wp;
               memcpy(o, q, 16);
-              for (size_t k = 16; k < llv; k += 16) memcpy(o + k, q + k, 16);
+              if (llv > 16) {
+                memcpy(o + 16, q + 16, 16);
+                for (size_t k = 32; k < llv; k += 32) {
+                  memcpy(o + k, q + k, 16);
+                  memcpy(o + k + 16, q + k + 16, 16);
+                }
+              }
               wp += llv;
               lit_pos += llv;
             }
@@ -1881,7 +1887,13 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
               wp += mlv;
               if (off >= 16) {
                 memcpy(o, q, 16);
-                for (u32 k = 16; k < mlv; k += 16) memcpy(o + k, q + k, 16);
+                if (mlv > 16) {
+                  memcpy(o + 16, q + 16, 16);
+                  for (u32 k = 32; k < mlv; k += 32) {
+                    memcpy(o + k, q + k, 16);
+                    memcpy(o + k + 16, q + k + 16, 16);
+                  }
+                }
               } else if (off >= 8) {
                 memcpy(o, q, 8);
                 for (u32 k = 8; k < mlv; k += 8) memcpy(o + k, q + k, 8);
