@@ -207,7 +207,7 @@ def fse_decode_sequences(
     ml_s = read_at(rem, ml_log)
     rem = rem - ml_log
 
-    def step(carry, i):
+    def one_seq(carry, i):
         ll_s, of_s, ml_s, rem, r1, r2, r3 = carry
         on = i < n_seq
 
@@ -262,10 +262,37 @@ def fse_decode_sequences(
         )
         return (ll_s, of_s, ml_s, rem, r1, r2, r3), out
 
+    # Scan-step dispatch overhead dominates on this hardware (each step of
+    # a scan with gathers costs ~10-100x the same ops unrolled), so the
+    # scan body decodes UNROLL sequences serially and the scan runs
+    # seq_bound/UNROLL steps. Semantics are identical: sub-iteration k of
+    # step t is sequence t*UNROLL+k, including the final-sequence
+    # no-state-update rule.
+    UNROLL = 8
+    assert seq_bound % UNROLL == 0 or seq_bound < UNROLL
+
+    def step(carry, t):
+        outs = []
+        for k in range(UNROLL):
+            carry, o = one_seq(carry, t * UNROLL + k)
+            outs.append(o)
+        stacked = tuple(
+            jnp.stack([o[j] for o in outs]) for j in range(4)
+        )
+        return carry, stacked
+
     init = (ll_s, of_s, ml_s, rem, jnp.int32(1), jnp.int32(4), jnp.int32(8))
-    carry, (lls, mls, offs, ofvs) = jax.lax.scan(
-        step, init, jnp.arange(seq_bound, dtype=jnp.int32)
-    )
+    if seq_bound < UNROLL:
+        carry, (lls, mls, offs, ofvs) = jax.lax.scan(
+            one_seq, init, jnp.arange(seq_bound, dtype=jnp.int32)
+        )
+    else:
+        carry, (lls, mls, offs, ofvs) = jax.lax.scan(
+            step, init, jnp.arange(seq_bound // UNROLL, dtype=jnp.int32)
+        )
+        lls, mls, offs, ofvs = (
+            a.reshape(seq_bound) for a in (lls, mls, offs, ofvs)
+        )
     # offs: offsets resolved against a fresh (1,4,8) repeat history — exact
     # for the first block of a frame; ofvs: raw offset values so callers can
     # re-resolve with the true cross-block repeat carry when ofv<=3 occurs.
