@@ -155,9 +155,31 @@ def fse_encode_sequences(
         bits = jnp.where(on, bits, zeros)
         return (ll_s, ml_s, of_s), (vals, bits)
 
-    (ll_sf, ml_sf, of_sf), (step_vals, step_bits) = jax.lax.scan(
-        step, (ll_s0, ml_s0, of_s0), jnp.arange(S, dtype=jnp.int32)
-    )
+    # Unrolled scan body (8 sequences per step): scan-step dispatch
+    # overhead dominates gather-bearing scans on this hardware.
+    ENC_UNROLL = 8
+
+    def step8(carry, t):
+        outs = []
+        for k in range(ENC_UNROLL):
+            carry, o = step(carry, t * ENC_UNROLL + k)
+            outs.append(o)
+        return carry, (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
+
+    if S % ENC_UNROLL == 0 and S >= ENC_UNROLL:
+        (ll_sf, ml_sf, of_sf), (step_vals, step_bits) = jax.lax.scan(
+            step8, (ll_s0, ml_s0, of_s0),
+            jnp.arange(S // ENC_UNROLL, dtype=jnp.int32),
+        )
+        step_vals = step_vals.reshape(S, 6)
+        step_bits = step_bits.reshape(S, 6)
+    else:
+        (ll_sf, ml_sf, of_sf), (step_vals, step_bits) = jax.lax.scan(
+            step, (ll_s0, ml_s0, of_s0), jnp.arange(S, dtype=jnp.int32)
+        )
 
     li = jnp.clip(last, 0, S - 1)
     head_vals = jnp.stack([ll_extra[li], ml_extra[li], of_extra[li]])
