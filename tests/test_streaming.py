@@ -381,3 +381,60 @@ def test_large_frame_streams_with_bounded_memory(monkeypatch):
     for _ in range(50):
         got += dec.read(7)
     assert bytes(got) == data[123_456 : 123_456 + 350]
+
+
+def test_compress_into_byte_granular_contract():
+    # The reference's caller-owned-buffer contract (lib/src/encode.rs:41-92;
+    # torture pattern lib/src/lib.rs:92-93 uses input/500 steps): tiny input
+    # steps and tiny output buffers must produce the archive byte-identically
+    # to one-shot compression, for both policies and backends.
+    import random
+
+    from zeekstd_tpu import EncodeOptions, FrameSizePolicy, RawEncoder
+
+    data = (INPUT * 3)[: 50_000]
+    rng = random.Random(11)
+    for policy in (
+        FrameSizePolicy.uncompressed(7_000),
+        FrameSizePolicy.compressed(2_000),
+    ):
+        for backend in ("python", "native"):
+            opts = (
+                EncodeOptions()
+                .with_frame_size_policy(policy)
+                .with_backend(backend)
+            )
+            oneshot_enc = RawEncoder(opts)
+            oneshot = oneshot_enc.compress(data) + oneshot_enc.end_frame()
+            st_oneshot = oneshot_enc.into_seek_table()
+
+            opts2 = (
+                EncodeOptions()
+                .with_frame_size_policy(policy)
+                .with_backend(backend)
+            )
+            enc = RawEncoder(opts2)
+            got = bytearray()
+            buf = bytearray(97)  # deliberately tiny output buffer
+            pos = 0
+            while pos < len(data):
+                step = min(rng.randrange(1, len(data) // 100), len(data) - pos)
+                prog = enc.compress_into(data[pos : pos + step], buf)
+                assert prog.in_progress >= 0 and prog.out_progress >= 0
+                got += buf[: prog.out_progress]
+                pos += prog.in_progress
+            while True:
+                ep = enc.end_frame_into(buf)
+                got += buf[: ep.out_progress]
+                if not ep.data_left:
+                    break
+            assert bytes(got) == oneshot, (policy.kind, backend)
+            st = enc.into_seek_table()
+            assert st.num_frames == st_oneshot.num_frames
+            assert [
+                (st.frame_size_comp(i), st.frame_size_decomp(i))
+                for i in range(st.num_frames)
+            ] == [
+                (st_oneshot.frame_size_comp(i), st_oneshot.frame_size_decomp(i))
+                for i in range(st_oneshot.num_frames)
+            ]

@@ -28,7 +28,14 @@ from .constants import (
 )
 from .codec import CCtx, DCtx, compress_frame, decompress_frame
 from .decode import DecodeOptions, Decoder
-from .encode import EncodeOptions, Encoder, FrameSizePolicy, RawEncoder
+from .encode import (
+    CompressionProgress,
+    EncodeOptions,
+    Encoder,
+    EpilogueProgress,
+    FrameSizePolicy,
+    RawEncoder,
+)
 from .errors import (
     FrameIndexTooLargeError,
     NumberConversionError,
@@ -48,6 +55,8 @@ __all__ = [
     "decompress_frame",
     "DecodeOptions",
     "Decoder",
+    "CompressionProgress",
+    "EpilogueProgress",
     "EncodeOptions",
     "Encoder",
     "FrameSizePolicy",

@@ -11,12 +11,20 @@ Mirrors the reference's encode layer (reference: lib/src/encode.rs):
 - ``Encoder`` — single-use writer-backed wrapper whose ``finish()`` appends
   the serialized seek table (reference: lib/src/encode.rs:547-800).
 
-Differences from the reference are deliberate, not omissions: the Rust
-raw layer's explicit ``CompressionProgress``/``EpilogueProgress`` contract
-exists because no_std callers own fixed buffers; here ``compress`` returns
-the produced bytes and the resumable unit is the frame. The TPU parallel
-path (``zeekstd_tpu.parallel``) compresses many frames at once and logs
-them into the same ``SeekTable``.
+Two calling conventions are offered on the raw layer:
+
+- ``compress()``/``end_frame()`` return produced bytes (the Pythonic
+  surface; the resumable unit is the internal step).
+- ``compress_into()``/``end_frame_into()`` implement the reference's
+  byte-granular caller-owned-buffer contract (reference:
+  lib/src/encode.rs:41-92, 295-355): each call reports
+  ``CompressionProgress``/``EpilogueProgress``, the caller re-presents
+  unconsumed input and drains full output buffers, and arbitrarily tiny
+  buffers (the reference tortures with input/500 steps) produce the
+  identical archive.
+
+The TPU parallel path (``zeekstd_tpu.parallel``) compresses many frames
+at once and logs them into the same ``SeekTable``.
 """
 
 from __future__ import annotations
@@ -31,6 +39,26 @@ from .constants import (
 )
 from .errors import NumberConversionError
 from .seek_table import Format, SeekTable
+
+
+@dataclass(frozen=True)
+class CompressionProgress:
+    """Progress of one ``compress_into`` step (reference:
+    lib/src/encode.rs:41-63): bytes consumed from the caller's input and
+    bytes written to the caller's output buffer."""
+
+    in_progress: int
+    out_progress: int
+
+
+@dataclass(frozen=True)
+class EpilogueProgress:
+    """Progress of one ``end_frame_into`` step (reference:
+    lib/src/encode.rs:65-92). ``data_left`` means the caller must call
+    again with a fresh buffer."""
+
+    out_progress: int
+    data_left: bool
 
 
 @dataclass(frozen=True)
@@ -212,6 +240,13 @@ class RawEncoder:
             self._prefix = bytes(prefix)
         data = memoryview(bytes(data) if not isinstance(data, (bytes, memoryview)) else data)
         out = bytearray()
+        # Interop with the _into contract: flush any buffered step input and
+        # hand back bytes it produced.
+        if getattr(self, "_inbuf", None):
+            self._flush_inbuf(final=True)
+        if getattr(self, "_pending", None):
+            out += self._pending
+            self._pending.clear()
         pos = 0
         pol = self.options.frame_size_policy
         while pos < len(data):
@@ -236,7 +271,95 @@ class RawEncoder:
     def end_frame(self) -> bytes:
         """Close the current frame and log it in the seek table
         (reference: lib/src/encode.rs:438-472)."""
-        return self._end_frame_internal()
+        out = bytearray()
+        if getattr(self, "_inbuf", None):
+            self._flush_inbuf(final=True)
+        if getattr(self, "_pending", None):
+            out += self._pending
+            self._pending.clear()
+        out += self._end_frame_internal()
+        return bytes(out)
+
+    # -- byte-granular caller-owned-buffer contract -------------------------
+
+    def _drain_into(self, out) -> int:
+        pend = getattr(self, "_pending", None)
+        if pend is None:
+            pend = self._pending = bytearray()
+        n = min(len(out), len(pend))
+        if n:
+            out[:n] = pend[:n]
+            del pend[:n]
+        return n
+
+    def _feed_step_target(self) -> int:
+        # The step granularity the one-shot path feeds the frame encoder
+        # with; buffering caller bytes up to it keeps the emitted blocks —
+        # and therefore the archive bytes — independent of how finely the
+        # caller steps (the reference gets this from libzstd's internal
+        # input buffer).
+        target = self._remaining_frame_size()
+        if self.options.frame_size_policy.kind == "compressed":
+            target = min(target, self._frame.block_max)
+        return target
+
+    def _flush_inbuf(self, final: bool) -> None:
+        buf = getattr(self, "_inbuf", None)
+        if not buf:
+            return
+        while buf:
+            if self._frame is None:
+                self._begin_frame()
+            target = self._feed_step_target()
+            if len(buf) < target and not final:
+                return
+            chunk = bytes(buf[:target])
+            del buf[:target]
+            produced = self._frame.compress(chunk)
+            self._frame_c_size += len(produced)
+            self._frame_d_size += len(chunk)
+            self._pending += produced
+            if self._is_frame_complete():
+                self._pending += self._end_frame_internal()
+
+    def compress_into(self, data, out) -> CompressionProgress:
+        """One resumable byte-granular step (reference contract,
+        lib/src/encode.rs:295-355): consumes part of ``data``, writes part
+        of the compressed stream into the writable buffer ``out``, and
+        reports both. The caller re-presents input from ``in_progress`` and
+        presents a fresh/drained buffer while output remains. Frames cut
+        per the policy, and the archive bytes are identical to one-shot
+        ``compress()`` regardless of step sizes."""
+        out = memoryview(out)
+        written = self._drain_into(out)
+        if len(self._pending):
+            return CompressionProgress(0, written)  # caller buffer full
+        data = memoryview(data)
+        if len(data) == 0:
+            return CompressionProgress(0, written)
+        if self._frame is None:
+            self._begin_frame()
+        buf = getattr(self, "_inbuf", None)
+        if buf is None:
+            buf = self._inbuf = bytearray()
+        take = min(len(data), max(self._feed_step_target() - len(buf), 1))
+        buf += data[:take]
+        self._flush_inbuf(final=False)
+        written += self._drain_into(out[written:])
+        return CompressionProgress(take, written)
+
+    def end_frame_into(self, out) -> EpilogueProgress:
+        """Resumable frame epilogue (reference: lib/src/encode.rs:438-472
+        with EpilogueProgress semantics): call until ``data_left`` is
+        False."""
+        out = memoryview(out)
+        written = self._drain_into(out)
+        if not len(self._pending):
+            self._flush_inbuf(final=True)
+            if self._frame is not None:
+                self._pending += self._end_frame_internal()
+            written += self._drain_into(out[written:])
+        return EpilogueProgress(written, bool(len(self._pending)))
 
     def _end_frame_internal(self) -> bytes:
         if self._frame is None:
@@ -255,6 +378,10 @@ class RawEncoder:
         self._frame = None
         self._frame_c_size = 0
         self._frame_d_size = 0
+        if getattr(self, "_pending", None):
+            self._pending.clear()
+        if getattr(self, "_inbuf", None):
+            self._inbuf.clear()
 
     def reset_seek_table(self) -> None:
         """(reference: lib/src/encode.rs:524-526)"""
