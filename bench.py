@@ -158,6 +158,25 @@ def bench_tpu(corpus: bytes, frame_size: int):
     which on this machine rides a ~5 MB/s tunnel (environment artifact,
     reported separately so the chip number is visible).
     """
+    # Pre-flight in a subprocess with a hard timeout: when the TPU tunnel
+    # is dead, device ops HANG (no error) — a hung bench would lose even
+    # the native numbers. A throwaway process proves the device answers.
+    try:
+        import subprocess
+
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(int(jnp.arange(8).sum()))"],
+            capture_output=True, timeout=120,
+        )
+        if probe.returncode != 0 or b"28" not in probe.stdout:
+            log("tpu bench skipped: device probe failed "
+                f"(rc={probe.returncode})")
+            return None
+    except Exception as e:
+        log(f"tpu bench skipped: device probe hung/failed ({e!r})")
+        return None
+
     try:
         import jax.numpy as jnp
         import numpy as np
