@@ -890,7 +890,8 @@ def tpu_decompress_archive(
                     rows.append(len(seq_blocks))
                     seq_blocks.append(args[0])
             frame_rows.append(rows)
-        lls_b, mls_b, offs_b, ofvs_b, dec_seq_bound = _fse_batch_dev(seq_blocks)
+        (lls_b, mls_b, offs_b, ofvs_b, hasrep_dev,
+         dec_seq_bound) = _fse_batch_dev(seq_blocks)
         _pt2.fence(lls_b)
 
     # Cross-block repeat-offset carry: only frames that use repeat codes
@@ -899,11 +900,9 @@ def tpu_decompress_archive(
     # those frames' rows are pulled/pushed.
     with phase_timer("dec.rep_carry"):
         if seq_blocks:
-            nseq_v = np.zeros(ofvs_b.shape[0], np.int32)
-            nseq_v[: len(seq_blocks)] = [d["nseq"] for d in seq_blocks]
-            hasrep = np.asarray(
-                _hasrep_fn(ofvs_b.shape)(ofvs_b, lls_b, jnp.asarray(nseq_v))
-            )
+            # Computed inside the FSE dispatch — one pull, no extra round
+            # trip (_hasrep_fn remains for the sharded pipeline).
+            hasrep = np.asarray(hasrep_dev)
             fix_rows = []
             for rows in frame_rows:
                 if any(hasrep[r] for r in rows[1:]):
@@ -1202,7 +1201,9 @@ def _fse_batch_dev(seq_blocks):
 
     if not seq_blocks:
         z = jnp.zeros((1, 32), jnp.int32)
-        return z, z, jnp.ones((1, 32), jnp.int32), jnp.full((1, 32), 4, jnp.int32), 32
+        return (z, z, jnp.ones((1, 32), jnp.int32),
+                jnp.full((1, 32), 4, jnp.int32),
+                jnp.zeros(1, bool), 32)
     seq_bound = 1 << max((max(d["nseq"] for d in seq_blocks) - 1).bit_length(), 5)
     word_bound = 1 << max(
         ((max(len(d["payload"]) for d in seq_blocks) + 3) // 4).bit_length(), 4
@@ -1234,14 +1235,14 @@ def _fse_batch_dev(seq_blocks):
             dense[pre + "b"][i, :size] = t.baseline
         logs[i] = [ll_t.accuracy_log, of_t.accuracy_log, ml_t.accuracy_log]
     fn = _get_fse_decode_fn(word_bound, seq_bound)
-    lls, mls, offs, ofvs, _reps = fn(
+    lls, mls, offs, ofvs, _reps, hasrep = fn(
         jnp.asarray(words), jnp.asarray(starts), jnp.asarray(nseqs),
         jnp.asarray(dense["lls"]), jnp.asarray(dense["lln"]), jnp.asarray(dense["llb"]),
         jnp.asarray(dense["ofs"]), jnp.asarray(dense["ofn"]), jnp.asarray(dense["ofb"]),
         jnp.asarray(dense["mls"]), jnp.asarray(dense["mln"]), jnp.asarray(dense["mlb"]),
         jnp.asarray(logs[:, 0]), jnp.asarray(logs[:, 1]), jnp.asarray(logs[:, 2]),
     )
-    return lls, mls, offs, ofvs, seq_bound
+    return lls, mls, offs, ofvs, hasrep, seq_bound
 
 
 def _dec_totals_fn(seq_shape, map_shape, n_consts):

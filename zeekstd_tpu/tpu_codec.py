@@ -421,12 +421,22 @@ def _get_fse_decode_fn(word_bound: int, seq_bound: int):
         ml_bb = jnp.asarray(seq_mod.ML_BITS.astype(np.int32))
 
         def one(words, start_bits, n_seq, lls, lln, llb, ofs, ofn, ofb, mls, mln, mlb, llog, olog, mlog):
-            return fse_decode_sequences(
+            dec_lls, dec_mls, dec_offs, dec_ofvs, reps = fse_decode_sequences(
                 words, start_bits, seq_bound, n_seq,
                 lls, lln, llb, ofs, ofn, ofb, mls, mln, mlb,
                 llog, olog, mlog,
                 ll_cb, ll_bb, ml_cb, ml_bb,
             )
+            # Cross-block repeat-carry flag, folded into this dispatch so
+            # the archive decoder needs no separate hasrep round trip:
+            # same-block rep1 (ofv==1, ll>0, not the first sequence)
+            # resolves against the fresh per-block history; any other
+            # repeat form may depend on earlier blocks.
+            k = jnp.arange(dec_ofvs.shape[0], dtype=jnp.int32)
+            valid = k < n_seq
+            safe = (dec_ofvs == 1) & (dec_lls > 0) & (k >= 1)
+            hasrep = jnp.any(valid & (dec_ofvs <= 3) & (~safe))
+            return dec_lls, dec_mls, dec_offs, dec_ofvs, reps, hasrep
 
         _fns[key] = jax.jit(jax.vmap(one))
     return _fns[key]
@@ -603,7 +613,7 @@ def _fse_batch(seq_blocks):
                 dense[pre + "b"][i, :size] = t.baseline
             logs[i] = [ll_t.accuracy_log, of_t.accuracy_log, ml_t.accuracy_log]
         fn = _get_fse_decode_fn(word_bound, seq_bound)
-        lls, mls, offs, ofvs, reps = fn(
+        lls, mls, offs, ofvs, reps, _hasrep = fn(
             jnp.asarray(words), jnp.asarray(starts), jnp.asarray(nseqs),
             jnp.asarray(dense["lls"]), jnp.asarray(dense["lln"]), jnp.asarray(dense["llb"]),
             jnp.asarray(dense["ofs"]), jnp.asarray(dense["ofn"]), jnp.asarray(dense["ofb"]),
