@@ -38,10 +38,14 @@ import os as _os
 # the sequential state chains. ~0.3% size cost on text at 32 KiB.
 BLOCK_SIZE = int(_os.environ.get("ZEEKSTD_TPU_BLOCK", 32 << 10))
 
-# Doubling depth of the primary sequence-execution program: covers copy
-# chains up to 2^5 = 32 match segments deep (text rarely exceeds a few).
-# Deeper nesting escalates to the full-depth program, then host fallback.
-FAST_DOUBLINGS = 5
+# Doubling depth of the primary sequence-execution program. Measured on
+# dickens-like text: archives from OUR encoder (match cap 32/strips)
+# resolve in 7 passes, native/libzstd archives (longer matches, deeper
+# nesting) in 9-10. 8 covers every own-archive frame with margin — the
+# decode path the batched pipeline actually serves — and each pass is a
+# full-size gather (~5-10ms per 1M positions), so depth is runtime.
+# Deeper nesting escalates to the 12-pass program, then host fallback.
+FAST_DOUBLINGS = 8
 assert BLOCK_SIZE <= ZSTD_BLOCK_SIZE_MAX
 
 _fns = {}
