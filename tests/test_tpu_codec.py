@@ -144,3 +144,68 @@ def test_tpu_archive_decode_escalates_shallow_doublings(monkeypatch):
     monkeypatch.setattr(ta, "FAST_DOUBLINGS", 0)
     out = ta.tpu_decompress_archive(blob, st)
     assert out == data
+
+
+def test_plan_block_demotion_guards_treeless_and_repeat():
+    # A treeless literal block or Repeat_Mode FSE table whose defining
+    # block was demoted to raw must itself demote to a raw block rather
+    # than emit a dangling reference (silent corruption).
+    import numpy as np
+
+    import zeekstd_tpu.tpu_archive as ta
+    from zeekstd_tpu.codec import sequences as seq_mod
+    from zeekstd_tpu.codec.seq_encode import _choose_table
+
+    class SpyPlan:
+        def __init__(self):
+            self.events = []
+
+        def add_static(self, f, b):
+            self.events.append(("static", bytes(b)))
+
+        def add_huf(self, f, sj, n):
+            self.events.append(("huf", sj, n))
+
+        def add_fse(self, f, j, n):
+            self.events.append(("fse", j, n))
+
+        def add_raw(self, f, src_f, off, n):
+            self.events.append(("raw", off, n))
+
+        def add_lits(self, f, src_f, off, n):
+            self.events.append(("lits", off, n))
+
+    hist = np.zeros(36, np.int64)
+    hist[0] = 50
+    hist[2] = 30
+    mode, tbl, desc, _ = _choose_table(
+        None, "ll", seq_mod.LL_DEFAULT_NORM, seq_mod.LL_DEFAULT_LOG, 35, 9,
+        hist=hist,
+    )
+    tables = {"ll": (mode, tbl, desc), "of": (mode, tbl, desc), "ml": (mode, tbl, desc)}
+
+    fdata = bytes(range(256)) * 256  # incompressible-ish raw fallback data
+    fse_bits = [8]
+    huf_bits = [8, 8, 8, 8]
+
+    # Block 1 claims treeless + Repeat_Mode tables defined by a block that
+    # never emitted (emit_state fresh == everything demoted).
+    d1 = {
+        "frame": 0, "block": 1, "len": 4096, "nseq": 3, "nlit": 256,
+        "lit_lo": 0, "lit_mode": "huf", "treeless": True, "tree": b"",
+        "tree_id": 7, "huf_streams": [0, 1, 2, 3], "fse_job": 0,
+        "tables": {
+            "ll": (seq_mod.MODE_REPEAT, tbl, b""),
+            "of": (seq_mod.MODE_REPEAT, tbl, b""),
+            "ml": (seq_mod.MODE_REPEAT, tbl, b""),
+        },
+        "tbl_id": {"ll": 3, "of": 4, "ml": 5},
+        "dep_tbl_id": {"ll": 3, "of": 4, "ml": 5},
+    }
+    plan = SpyPlan()
+    state = {"tree_id": None, "fse_ids": {}}
+    ta._plan_block(plan, d1, 0, 1, True, fdata, fse_bits, huf_bits, state)
+    kinds = [e[0] for e in plan.events]
+    # Must fall back to a raw (or RLE) block: no huf/fse segments emitted.
+    assert "huf" not in kinds and "fse" not in kinds, plan.events
+    assert any(k in ("raw", "static") for k in kinds)
