@@ -1856,15 +1856,20 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
             ll_s = (int)((lle2 >> 34) & 0xFFFF) + (int)(upd >> (mb2 + ob));
             ml_s = (int)((mle2 >> 34) & 0xFFFF) + (int)((upd >> ob) & ((1u << mb2) - 1));
             of_s = (int)(ofe >> 16) + (int)(upd & ((1u << ob) - 1));
-            // Branchless repeat-offset resolution (sel==0 means real offset).
-            u32 sel = ofv <= 3 ? ofv + (llv == 0 ? 1u : 0u) : 0u;
-            u32 cand1 = sel == 2 ? reps[1] : (sel == 3 ? reps[2] : reps[0]);
-            u32 repv = sel == 4 ? reps[0] - 1 : cand1;
-            u32 off = sel == 0 ? ofv - 3 : repv;
+            // Branchy repeat-offset resolution (predictable on rep-heavy
+            // own streams).
+            u32 off;
+            if (ofv > 3) {
+              off = ofv - 3;
+              reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = off;
+            } else {
+              u32 idx2 = ofv + (llv == 0 ? 1u : 0u);
+              if (idx2 == 1) off = reps[0];
+              else if (idx2 == 2) { off = reps[1]; reps[1] = reps[0]; reps[0] = off; }
+              else if (idx2 == 3) { off = reps[2]; reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = off; }
+              else { off = reps[0] - 1; reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = off; }
+            }
             if (!off) return -1;
-            u32 nr2 = sel == 1 ? reps[1] : reps[0];
-            u32 nr3 = (sel == 1 || sel == 2) ? reps[2] : reps[1];
-            reps[0] = off; reps[1] = nr2; reps[2] = nr3;
             if (lit_pos + llv > lit_n) return -1;
             {
               const u8* q = litp + lit_pos;
