@@ -209,3 +209,45 @@ def test_plan_block_demotion_guards_treeless_and_repeat():
     # Must fall back to a raw (or RLE) block: no huf/fse segments emitted.
     assert "huf" not in kinds and "fse" not in kinds, plan.events
     assert any(k in ("raw", "static") for k in kinds)
+
+
+def test_streaming_encoder_tpu_backend():
+    # The "tpu" backend routes the streaming layer through the batched
+    # archive pipeline: frames cut per the policy, seek table logged,
+    # archive interchangeable with every other backend's decoder.
+    import io
+
+    from zeekstd_tpu import (
+        BytesWrapper,
+        DecodeOptions,
+        EncodeOptions,
+        FrameSizePolicy,
+    )
+
+    data = text_data(300_000)
+    buf = io.BytesIO()
+    enc = (
+        EncodeOptions()
+        .with_backend("tpu")
+        .with_frame_size_policy(FrameSizePolicy.uncompressed(65_536))
+        .into_encoder(buf)
+    )
+    # stream in uneven chunks
+    for i in range(0, len(data), 50_000):
+        enc.write(data[i : i + 50_000])
+    enc.finish()
+    archive = buf.getvalue()
+
+    for backend in ("python", "native", "tpu"):
+        dec = (
+            DecodeOptions(BytesWrapper(archive)).with_backend(backend).into_decoder()
+        )
+        assert dec.read(-1) == data, backend
+    st_dec = DecodeOptions(BytesWrapper(archive)).into_decoder()
+    assert st_dec.seek_table().num_frames == -(-len(data) // 65_536)
+    # oracle: libzstd decodes the frames
+    from .oracle import zstd_decompress
+
+    st = st_dec.seek_table()
+    blob_end = st.frame_end_comp(st.num_frames - 1)
+    assert zstd_decompress(archive[:blob_end]) == data

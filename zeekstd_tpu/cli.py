@@ -132,8 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     def add_common(sp):
         sp.add_argument(
-            "--backend", choices=["auto", "python", "native"], default="auto",
-            help="execution backend (default: native runtime when available)",
+            "--backend", choices=["auto", "python", "native", "tpu"],
+            default="auto",
+            help="execution backend (default: native runtime when "
+            "available; tpu = batched device archive pipeline)",
         )
         sp.add_argument("-f", "--force", action="store_true", help="overwrite without asking; allow tty output")
         sp.add_argument("-c", "--stdout", action="store_true", help="write to standard output")
@@ -249,6 +251,14 @@ def _open_output(args, derive, is_stdin: bool):
 
 
 def cmd_compress(args) -> int:
+    if args.backend == "tpu":
+        if args.patch_from:
+            raise CliError("--patch-from is not supported with --backend tpu")
+        if args.frame_size_policy == "compressed":
+            raise CliError(
+                "--frame-size-policy compressed is not supported with "
+                "--backend tpu"
+            )
     src, is_stdin = _open_input(args.input)
     out, out_path = _open_output(
         args, lambda: _derive_compress_output(args.input), is_stdin
@@ -343,6 +353,8 @@ def cmd_decompress(args) -> int:
     out, out_path = _open_output(
         args, lambda: _derive_decompress_output(args.input), is_stdin
     )
+    if args.backend == "tpu" and args.patch_apply:
+        raise CliError("--patch-apply is not supported with --backend tpu")
     prefix = _load_prefix(args.patch_apply, args.mmap_prefix)
 
     if args.seek_table_file:

@@ -104,7 +104,10 @@ class DecodeOptions:
         self.backend = "auto"
 
     def with_backend(self, backend: str) -> "DecodeOptions":
-        if backend not in ("auto", "python", "native"):
+        """"auto" (native when available), "python", "native", or
+        "tpu" — frames decode through the batched device pipeline
+        (prefixes unsupported there)."""
+        if backend not in ("auto", "python", "native", "tpu"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         return self
@@ -208,7 +211,15 @@ class Decoder:
             buf += chunk
         self._read_compressed += len(buf)
         expected_size = self._st.frame_size_decomp(index)
-        if self._backend == "native":
+        if self._backend == "tpu":
+            if self._prefix is not None:
+                raise ValueError(
+                    "prefix/patch mode is not supported on the tpu backend"
+                )
+            from .tpu_codec import tpu_decompress_frame
+
+            out, _ = tpu_decompress_frame(buf)
+        elif self._backend == "native":
             from .native.frame import native_decompress_frame
 
             out, _ = native_decompress_frame(

@@ -110,7 +110,10 @@ class EncodeOptions:
         self.backend = "auto"
 
     def with_backend(self, backend: str) -> "EncodeOptions":
-        if backend not in ("auto", "python", "native"):
+        """"auto" (native when available), "python", "native", or
+        "tpu" — the batched device archive pipeline (uncompressed frame
+        policy only; prefixes unsupported there)."""
+        if backend not in ("auto", "python", "native", "tpu"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         return self
@@ -232,12 +235,63 @@ class RawEncoder:
     def compress(self, data) -> bytes:
         return self.compress_with_prefix(data, None)
 
+    # How many policy-sized frames the TPU backend batches per device
+    # dispatch: every dispatch pays tens of ms of tunnel latency, so the
+    # streaming layer feeds the archive pipeline several frames at once.
+    TPU_BATCH_FRAMES = 8
+
+    def _tpu_flush(self, final: bool) -> bytes:
+        """Flush buffered input through the batched TPU archive pipeline
+        in whole policy-frames (plus the trailing partial frame when
+        ``final``), logging the produced frames into this seek table."""
+        buf = self._tpu_buf
+        fsize = self.options.frame_size_policy.size
+        usable = len(buf) if final else (len(buf) // fsize) * fsize
+        if usable == 0:
+            return b""
+        from .tpu_archive import tpu_compress_archive
+
+        chunk = bytes(buf[:usable])
+        del buf[:usable]
+        blob, st = tpu_compress_archive(
+            chunk,
+            frame_size=fsize,
+            checksum=self.cctx.checksum,
+            level=self.cctx.level,
+        )
+        for i in range(st.num_frames):
+            self._seek_table.log_frame(
+                st.frame_size_comp(i), st.frame_size_decomp(i)
+            )
+        return blob
+
+    def _tpu_compress(self, data) -> bytes:
+        if self._prefix is not None:
+            raise ValueError(
+                "prefix/patch mode is not supported on the tpu backend"
+            )
+        if self.options.frame_size_policy.kind != "uncompressed":
+            raise ValueError(
+                "the tpu backend supports the uncompressed frame-size "
+                "policy only"
+            )
+        buf = getattr(self, "_tpu_buf", None)
+        if buf is None:
+            buf = self._tpu_buf = bytearray()
+        buf += bytes(data)
+        fsize = self.options.frame_size_policy.size
+        if len(buf) >= self.TPU_BATCH_FRAMES * fsize:
+            return self._tpu_flush(final=False)
+        return b""
+
     def compress_with_prefix(self, data, prefix) -> bytes:
         """Compress ``data``, cutting frames per the policy; the optional
         prefix is re-applied at every frame start
         (reference: lib/src/encode.rs:311-355)."""
         if prefix is not None:
             self._prefix = bytes(prefix)
+        if self.options.backend == "tpu":
+            return self._tpu_compress(data)
         data = memoryview(bytes(data) if not isinstance(data, (bytes, memoryview)) else data)
         out = bytearray()
         # Interop with the _into contract: flush any buffered step input and
@@ -271,6 +325,10 @@ class RawEncoder:
     def end_frame(self) -> bytes:
         """Close the current frame and log it in the seek table
         (reference: lib/src/encode.rs:438-472)."""
+        if self.options.backend == "tpu":
+            if getattr(self, "_tpu_buf", None):
+                return self._tpu_flush(final=True)
+            return b""
         out = bytearray()
         if getattr(self, "_inbuf", None):
             self._flush_inbuf(final=True)

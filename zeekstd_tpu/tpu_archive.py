@@ -61,7 +61,7 @@ def _jx():
     return jax, jnp
 
 
-def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: int):
+def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: int, level: int = 3):
     """Pure per-frame parse+stats function — the unit both the single-chip
     path (jit∘vmap) and the mesh pipeline (jit∘shard_map∘vmap) build on."""
     jax, jnp = _jx()
@@ -75,7 +75,7 @@ def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: in
 
     def one_frame(data_u8, n_valid):
         lls, mls, offs, n_seq, lits, n_lit, n_raw = parse_frame(
-            data_u8, BLOCK_SIZE, seq_bound, n_valid=n_valid
+            data_u8, BLOCK_SIZE, seq_bound, n_valid=n_valid, level=level
         )
         sidx = jnp.arange(seq_bound, dtype=jnp.int32)
         valid = sidx < n_seq
@@ -148,15 +148,15 @@ def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: in
     return one_frame
 
 
-def _parse_stats_packed_fn(frame_size: int, seq_bound: int, B: int):
+def _parse_stats_packed_fn(frame_size: int, seq_bound: int, B: int, level: int = 3):
     """jit(vmap(one_frame)) with the small per-frame statistics packed into
     ONE int32 row per frame — a single host pull instead of nine (each
     device->host transfer on this link costs tens of ms of latency)."""
     jax, jnp = _jx()
-    key = ("parse_stats_packed", frame_size, seq_bound, B)
+    key = ("parse_stats_packed", frame_size, seq_bound, B, level)
     if key in _fns:
         return _fns[key]
-    one_frame = _parse_stats_one_frame(frame_size, seq_bound, B)
+    one_frame = _parse_stats_one_frame(frame_size, seq_bound, B, level)
 
     def packed(data_u8, n_valid):
         (adj_ll, mls, ovs, llc, mlc, ofc, lits,
@@ -536,6 +536,7 @@ def tpu_compress_archive(
     frame_size: int = 2 << 20,
     checksum: bool = False,
     return_device: bool = False,
+    level: int = 3,
 ):
     """Compress ``data`` into seekable frames with the batched device
     pipeline; returns (frames_blob, SeekTable).
@@ -568,7 +569,7 @@ def tpu_compress_archive(
 
     # --- dispatch 1: parse + stats ---------------------------------------
     with phase_timer("enc.parse_dispatch") as _pt:
-        parse = _parse_stats_packed_fn(frame_size, seq_bound, B)
+        parse = _parse_stats_packed_fn(frame_size, seq_bound, B, level)
         (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d) = parse(
             jnp.asarray(frames), jnp.asarray(lengths)
         )
