@@ -206,3 +206,22 @@ def test_quiet_and_summary(workdir, capsys):
     assert "input.txt" in err and "%" in err  # summary line
     assert main(["-q", "compress", "-f", "input.txt"]) == 0
     assert capsys.readouterr().err == ""
+
+
+def test_cli_backend_tpu_roundtrip(tmp_path):
+    # --backend tpu routes compress/decompress through the batched device
+    # archive pipeline (CPU backend in tests; same code path as the chip).
+    from .test_decompress import text_data
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(text_data(200_000))
+    out = tmp_path / "in.bin.zst"
+    rt = tmp_path / "rt.bin"
+    assert run_cli(["compress", str(src), "-o", str(out), "-f",
+                    "--backend", "tpu", "-s", "64K"]) == 0
+    assert run_cli(["decompress", str(out), "-o", str(rt), "-f",
+                    "--backend", "tpu"]) == 0
+    assert rt.read_bytes() == src.read_bytes()
+    # patch mode must be rejected clearly
+    assert run_cli(["compress", str(src), "-o", str(out), "-f",
+                    "--backend", "tpu", "--patch-from", str(src)]) != 0
