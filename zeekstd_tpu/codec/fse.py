@@ -97,44 +97,53 @@ def read_ncount(data: bytes, max_symbol: int, max_accuracy_log: int):
 def build_decode_table(norm, accuracy_log: int) -> FseDecodeTable:
     """Canonical FSE decode-table construction (RFC 8878 §4.1.1):
     -1 symbols take cells from the table top; the rest spread with
-    ``step = size/2 + size/8 + 3``."""
-    size = 1 << accuracy_log
-    symbol = np.zeros(size, dtype=np.uint8)
-    nb = np.zeros(size, dtype=np.uint8)
-    baseline = np.zeros(size, dtype=np.uint16)
+    ``step = size/2 + size/8 + 3``.
 
-    high_threshold = size - 1
-    sym_next = []
-    for s, n in enumerate(norm):
-        if n == -1:
-            symbol[high_threshold] = s
-            high_threshold -= 1
-            sym_next.append(1)
-        else:
-            sym_next.append(n)
+    Vectorized: ``step`` is odd, so iterating ``pos = (pos + step) & mask``
+    is a permutation orbit of the whole table — the serial spread visits
+    ``orbit[k] = (k*step) & mask`` in order, skipping cells above the
+    high threshold. Filtering the orbit reproduces the exact cell order
+    without the per-cell Python loop (this runs per block at decode
+    planning time)."""
+    size = 1 << accuracy_log
+    norm_np = np.asarray(norm, dtype=np.int64)
+    nsym = len(norm_np)
+
+    neg = norm_np == -1
+    n_neg = int(neg.sum())
+    high_threshold = size - 1 - n_neg
+    total_spread = int(norm_np[norm_np > 0].sum())
+    if total_spread != size - n_neg:
+        raise corruption_detected("FSE table spread did not return to zero")
+
+    symbol = np.zeros(size, dtype=np.uint8)
+    # -1 symbols occupy the table top, descending in symbol order.
+    if n_neg:
+        symbol[size - n_neg :] = np.nonzero(neg)[0][::-1]
 
     step = (size >> 1) + (size >> 3) + 3
     mask = size - 1
-    pos = 0
-    for s, n in enumerate(norm):
-        if n <= 0:
-            continue
-        for _ in range(n):
-            symbol[pos] = s
-            pos = (pos + step) & mask
-            while pos > high_threshold:
-                pos = (pos + step) & mask
-    if pos != 0:
-        raise corruption_detected("FSE table spread did not return to zero")
+    if total_spread:
+        orbit = (np.arange(size, dtype=np.int64) * step) & mask
+        positions = orbit[orbit <= high_threshold]
+        spread_syms = np.repeat(
+            np.arange(nsym, dtype=np.int64), np.clip(norm_np, 0, None)
+        )
+        symbol[positions] = spread_syms
 
-    for u in range(size):
-        s = symbol[u]
-        next_state = sym_next[s]
-        sym_next[s] += 1
-        bits = accuracy_log - (int(next_state).bit_length() - 1)
-        nb[u] = bits
-        baseline[u] = (next_state << bits) - size
+    # Per-cell next_state = sym_next_init[sym] + rank of the cell among
+    # its symbol's cells in table order (the serial loop's visit order).
+    sym_next_init = np.where(neg, 1, norm_np)
+    order = np.argsort(symbol, kind="stable")
+    sym_sorted = symbol[order].astype(np.int64)
+    group_start = np.searchsorted(sym_sorted, np.arange(nsym))
+    within = np.arange(size, dtype=np.int64) - group_start[sym_sorted]
+    next_state = np.empty(size, dtype=np.int64)
+    next_state[order] = sym_next_init[sym_sorted] + within
 
+    bits = accuracy_log - (np.frexp(next_state.astype(np.float64))[1] - 1)
+    nb = bits.astype(np.uint8)
+    baseline = ((next_state << bits) - size).astype(np.uint16)
     return FseDecodeTable(accuracy_log, symbol, nb, baseline)
 
 
