@@ -190,3 +190,18 @@ def test_huge_declared_content_size_rejected_fast():
     with pytest.raises(Exception):
         loader.decompress_frame(frame, 1 << 20)
     assert time.time() - t0 < 2.0
+
+
+def test_structured_data_ratio():
+    # Numeric/structured text lives on 4-5 byte matches that a 6-byte hash
+    # never buckets together (reference CLI example: seq 20000 compresses
+    # to ~25%, cli/README.md:56-60). The lazy levels' 4-byte near probe
+    # and the optimal levels' lazy-race fallback must keep the native
+    # backend in that regime — not the ~42% an all-literal parse yields.
+    data = "\n".join(str(i) for i in range(1, 20001)).encode() + b"\n"
+    for lvl, bound in ((3, 0.32), (9, 0.32), (13, 0.32), (15, 0.32)):
+        blob = loader.compress_frame(data, level=lvl)
+        ratio = len(blob) / len(data)
+        assert ratio < bound, (lvl, ratio)
+        out, _ = loader.decompress_frame(blob, len(data) + 64)
+        assert out == data

@@ -823,6 +823,7 @@ struct Matcher {
   std::vector<i32> table2;  // long-hash table (16 bytes sampled)
   std::vector<i32> chain;   // per-position previous same-hash (levels 13+)
   std::vector<i32> table3;  // 3-byte hash (optimal parser: near short matches)
+  std::vector<i32> table4;  // 4-byte hash (lazy levels: near short matches)
   // Binary-tree matchfinder (optimal parser): per 4-byte-hash bucket, a
   // tree of earlier positions sorted by suffix; search+insert costs
   // O(nb_compares) with amortized length extension.
@@ -831,11 +832,12 @@ struct Matcher {
   static const int HASHLOG = 17;
   static const int HASHLOG3 = 15;
   Matcher() : table(1 << HASHLOG, -1), table2(1 << HASHLOG, -1),
-              table3(1 << HASHLOG3, -1) {}
+              table3(1 << HASHLOG3, -1), table4(1 << HASHLOG3, -1) {}
   void reset() {
     std::fill(table.begin(), table.end(), -1);
     std::fill(table2.begin(), table2.end(), -1);
     std::fill(table3.begin(), table3.end(), -1);
+    std::fill(table4.begin(), table4.end(), -1);
   }
   void enable_chain(size_t window) { chain.assign(window, -1); }
   bool bt3 = false;  // tree buckets hash 3 bytes (min-match 3, deepest level)
@@ -854,6 +856,16 @@ struct Matcher {
     u64 v = read64(p) & 0xFFFFFFFFFFFFULL;
     return (u32)((v * 0xCF1BBCDCB7A56463ULL) >> (64 - HASHLOG));
   }
+  // 4-byte hash into the small table3 (the optimal parser hashes 3 bytes
+  // into the same table; different levels, never the same frame). The
+  // lazy levels probe it for near short matches: structured data like
+  // numeric logs lives on 4-5 byte matches that a 6-byte hash never
+  // buckets together.
+  static inline u32 hash4n(const u8* p) {
+    return (read32(p) * 2654435761u) >> (32 - HASHLOG3);
+  }
+  bool probe4 = false;  // lazy levels: 4-byte near probe on table3
+  inline u32 hash_short(const u8* p) const { return hash6(p); }
   static inline u32 hash3(const u8* p) {
     u32 v = read32(p) & 0xFFFFFF;
     return (v * 2654435761u) >> (32 - HASHLOG3);
@@ -916,13 +928,24 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
     best_len = match_len(ip, ip - rep1, mlimit);
     best_off = rep1;
   }
-  u32 h = Matcher::hash6(ip);
+  u32 h = M.hash_short(ip);
   i32 cand = M.table[h];
   if (!M.chain.empty()) M.chain[cur] = cand;
   M.table[h] = (i32)cur;
   if (cand >= 0 && read32(base + cand) == read32(ip)) {
     u32 l = match_len(ip, base + cand, mlimit);
     if (l > best_len) { best_len = l; best_off = (u32)(cur - cand); }
+  }
+  if (M.probe4) {
+    u32 h4 = Matcher::hash4n(ip);
+    i32 c4 = M.table4[h4];
+    M.table4[h4] = (i32)cur;
+    if (c4 >= 0 && c4 != cand && read32(base + c4) == read32(ip)) {
+      u32 l = match_len(ip, base + c4, mlimit);
+      // The caller's price gate rejects short matches at far offsets, so
+      // surfacing every candidate here is safe for ratio.
+      if (l > best_len) { best_len = l; best_off = (u32)(cur - c4); }
+    }
   }
   if (depth > 0 && cand >= 0 && !M.chain.empty()) {
     i32 c = M.chain[cand];
@@ -1097,9 +1120,10 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
     int stride = best_len < 64 ? 1 : 2;
     for (const u8* q = ip + 1; q < stop; q += stride) {
       size_t qo = (size_t)(q - base);
-      u32 hq = Matcher::hash6(q);
+      u32 hq = M.hash_short(q);
       if (!M.chain.empty()) M.chain[qo] = M.table[hq];
       M.table[hq] = (i32)qo;
+      if (M.probe4) M.table4[Matcher::hash4n(q)] = (i32)qo;
       if (iend - q >= 16) M.table2[Matcher::hash16(q)] = (i32)qo;
     }
     ip = mend;
@@ -1374,6 +1398,10 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
   }
 
   Matcher M;
+  // Lazy/chain levels add the 4-byte near probe; the optimal levels keep
+  // it on for their per-block lazy fallback race (L1 stays single-probe
+  // for speed).
+  if (level >= 2) M.probe4 = true;
   int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : 0));
   if (depth) M.enable_chain(prefix_n + n);
   if (level >= 15) M.enable_bt(prefix_n + n, false);
@@ -1386,9 +1414,10 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
     const u8* hend = base + prefix_n + n;  // buffer holds prefix + data
     for (; p < pe; p++) {
       size_t po = (size_t)(p - base);
-      u32 hp = Matcher::hash6(p);
+      u32 hp = M.hash_short(p);
       if (depth) M.chain[po] = M.table[hp];
       M.table[hp] = (i32)po;
+      if (M.probe4) M.table4[Matcher::hash4n(p)] = (i32)po;
       if (hend - p >= 16) M.table2[Matcher::hash16(p)] = (i32)po;
       M.ldm_insert(base, p, hend);
       if (!M.btree.empty()) {
@@ -1429,6 +1458,26 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
     std::vector<u8> body;
     write_literals_section(body, lits.data(), lits.size());
     write_sequences_section(body, seqs);
+    if (level >= 15) {
+      // Price-seeded DP can settle into a degenerate all-literal fixed
+      // point on data whose matches are short (numeric/structured text:
+      // entropy-coded digits price close to short-match costs). Race the
+      // lazy parser per block and keep the smaller ACTUAL encoding — the
+      // optimal parser is then never worse than the lazy levels.
+      static thread_local std::vector<Seq> seqs2;
+      static thread_local std::vector<u8> lits2;
+      seqs2.clear();
+      lits2.clear();
+      u32 reps2[3] = {reps_in[0], reps_in[1], reps_in[2]};
+      parse_block(base, prefix_n + pos, blen, M, reps2, seqs2, lits2, 3, 0);
+      std::vector<u8> body2;
+      write_literals_section(body2, lits2.data(), lits2.size());
+      write_sequences_section(body2, seqs2);
+      if (body2.size() < body.size()) {
+        body.swap(body2);
+        reps[0] = reps2[0]; reps[1] = reps2[1]; reps[2] = reps2[2];
+      }
+    }
     if (body.size() >= blen || body.size() >= (1u << 21)) {
       // raw fallback; repeat history must not advance
       reps[0] = reps_in[0]; reps[1] = reps_in[1]; reps[2] = reps_in[2];
@@ -2186,7 +2235,7 @@ static int gather_cands(const u8* base, const u8* ip, const u8* mlimit,
                           out + n, probe, 4096);
     return n;
   }
-  u32 h = Matcher::hash6(ip);
+  u32 h = M.hash_short(ip);
   bool can16 = mlimit - ip >= 16;
   if (!probe) {
     // Insert-only fast path (interior of a long match): keep the tables
