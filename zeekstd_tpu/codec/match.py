@@ -60,7 +60,13 @@ class MatchState:
 
     def __init__(self, window_len: int):
         self.head = np.full(1 << HASH_LOG, -1, dtype=np.int64)
+        # Most-recent position per 4-byte hash: a single near probe that
+        # finds the 4-5 byte matches a 5/6-byte chain hash never buckets
+        # together (numeric/structured data; the price gate filters far
+        # short matches). Only maintained when hash_bytes > 4.
+        self.head4 = np.full(1 << HASH_LOG, -1, dtype=np.int64)
         self.chain = np.full(max(window_len, 1024), -1, dtype=np.int64)
+        self.chain4 = np.full(max(window_len, 1024), -1, dtype=np.int64)
         self.filled_to = 0
 
     def ensure_capacity(self, window_len: int) -> None:
@@ -68,6 +74,9 @@ class MatchState:
             new = np.full(max(window_len, 2 * len(self.chain)), -1, dtype=np.int64)
             new[: len(self.chain)] = self.chain
             self.chain = new
+            new4 = np.full(len(self.chain), -1, dtype=np.int64)
+            new4[: len(self.chain4)] = self.chain4
+            self.chain4 = new4
 
 
 def _hash4(v: int) -> int:
@@ -117,6 +126,23 @@ def bulk_insert(state: "MatchState", data: bytes, start: int, end: int, nbytes: 
     last_of_group[:-1] = hs_sorted[1:] != hs_sorted[:-1]
     last_of_group[-1] = True
     state.head[hs_sorted[last_of_group]] = pos_sorted[last_of_group]
+    if nbytes > 4:
+        h4 = hash_positions(data, start, end, 4)
+        pos4 = np.arange(start, end, dtype=np.int64)
+        order4 = np.argsort(h4, kind="stable")
+        h4s = h4[order4]
+        p4s = pos4[order4]
+        same4 = np.empty(len(order4), dtype=bool)
+        same4[0] = False
+        same4[1:] = h4s[1:] == h4s[:-1]
+        prev4 = np.where(same4, np.concatenate(([0], p4s[:-1])), -1)
+        group_start4 = ~same4
+        prev4[group_start4] = state.head4[h4s[group_start4]]
+        state.chain4[p4s] = prev4
+        last4 = np.empty(len(order4), dtype=bool)
+        last4[:-1] = h4s[1:] != h4s[:-1]
+        last4[-1] = True
+        state.head4[h4s[last4]] = p4s[last4]
     state.filled_to = end
 
 
@@ -235,10 +261,18 @@ def find_sequences(window: bytes, start: int, end: int, params: MatchParams, sta
             l += 1
         return l
 
+    head4 = state.head4
+    chain4 = state.chain4
+    probe4 = hb > 4
+
     def insert(p: int) -> None:
         h = _hash_n(data, p, hb)
         chain[p] = head[h]
         head[h] = p
+        if probe4:
+            h4 = _hash_n(data, p, 4)
+            chain4[p] = head4[h4]
+            head4[h4] = p
 
     def best_match(p: int):
         """Best (length, offset) at p, or (0, 0)."""
@@ -269,6 +303,12 @@ def find_sequences(window: bytes, start: int, end: int, params: MatchParams, sta
                     best_len, best_off = l, p - c
             cand = chain[c]
             tries -= 1
+        if probe4:
+            c4 = int(chain4[p])  # previous same-4-byte-hash position
+            if 0 <= c4 < p and p - c4 <= max_dist and data[p : p + 4] == data[c4 : c4 + 4]:
+                l = match_len_at(p, c4, limit)
+                if l > best_len:
+                    best_len, best_off = l, p - c4
         if ldm is not None and best_len < 64 and limit >= LDM_MIN:
             hl = _ldm_hash_one(data, p)
             for c in (int(ldm.first[hl]), int(ldm.last[hl])):
