@@ -65,6 +65,15 @@ def hash_positions_tpu(data_u8):
     return (h >> jnp.uint32(32 - HASH_LOG)).astype(jnp.int32)
 
 
+def hash_positions_4(data_u8):
+    """Per-position hash of exactly 4 bytes: numeric/structured data
+    lives on 4-5 byte matches that the 6-byte hash never buckets together
+    (same fix as the native runtime's near probe)."""
+    w = precompute_words(data_u8).astype(jnp.uint32)
+    h = w * jnp.uint32(2654435761)
+    return (h >> jnp.uint32(32 - HASH_LOG)).astype(jnp.int32)
+
+
 def hash_positions_long(data_u8, span: int = 16):
     """Per-position hash of ``span`` bytes (the dfast-style long table):
     candidates that agree on 16 bytes find periodic/long matches that the
@@ -320,6 +329,20 @@ def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: i
     cand = jnp.where(better, cand_l, cand)
     mlen = jnp.where(better, mlen_l, mlen)
     cont = jnp.where(better, cont_l, cont)
+    if level >= 2:
+        # 4-byte near pass (depth 1): the only finder of the short matches
+        # structured data is made of; the cost gate below keeps far short
+        # matches out exactly as on the host paths.
+        h4 = hash_positions_4(data_u8)
+        cand_4, mlen_4, cont_4 = sorted_hash_matches(
+            data_u8, h4, 1, block_size, n_valid, cap=cap, cont_words=cw
+        )
+        better4 = jnp.logical_or(
+            mlen_4 > mlen, jnp.logical_and(mlen_4 == mlen, cont_4 > cont)
+        )
+        cand = jnp.where(better4, cand_4, cand)
+        mlen = jnp.where(better4, mlen_4, mlen)
+        cont = jnp.where(better4, cont_4, cont)
     off = p - jnp.maximum(cand, 0)
 
     # Cost gate mirroring the host heuristic (match.py best_match).
