@@ -922,11 +922,16 @@ static inline u32 match_len(const u8* a, const u8* b, const u8* limit) {
 static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
                              Matcher& M, u32 rep1, u32* off_out,
                              int depth = 0) {
+  // Candidates compete on an offset-cost-aware score (4*len - log2(off),
+  // rep matches free of offset cost): raw longest-match selection breaks
+  // profitable repeat-offset chains on structured data.
   u32 best_len = 0, best_off = 0;
+  int best_score = -1000;
   size_t cur = (size_t)(ip - base);
   if (cur >= rep1 && read32(ip) == read32(ip - rep1)) {
     best_len = match_len(ip, ip - rep1, mlimit);
     best_off = rep1;
+    best_score = 4 * (int)best_len + 2;
   }
   u32 h = M.hash_short(ip);
   i32 cand = M.table[h];
@@ -934,7 +939,9 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
   M.table[h] = (i32)cur;
   if (cand >= 0 && read32(base + cand) == read32(ip)) {
     u32 l = match_len(ip, base + cand, mlimit);
-    if (l > best_len) { best_len = l; best_off = (u32)(cur - cand); }
+    u32 o = (u32)(cur - cand);
+    int sc = 4 * (int)l - highbit(o | 1);
+    if (sc > best_score) { best_len = l; best_off = o; best_score = sc; }
   }
   if (M.probe4) {
     u32 h4 = Matcher::hash4n(ip);
@@ -942,9 +949,9 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
     M.table4[h4] = (i32)cur;
     if (c4 >= 0 && c4 != cand && read32(base + c4) == read32(ip)) {
       u32 l = match_len(ip, base + c4, mlimit);
-      // The caller's price gate rejects short matches at far offsets, so
-      // surfacing every candidate here is safe for ratio.
-      if (l > best_len) { best_len = l; best_off = (u32)(cur - c4); }
+      u32 o = (u32)(cur - (size_t)c4);
+      int sc = 4 * (int)l - highbit(o | 1);
+      if (sc > best_score) { best_len = l; best_off = o; best_score = sc; }
     }
   }
   if (depth > 0 && cand >= 0 && !M.chain.empty()) {
@@ -952,8 +959,9 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
     for (int t = 0; t < depth && c >= 0; t++) {
       if (read32(base + c) == read32(ip)) {
         u32 l = match_len(ip, base + c, mlimit);
-        // Prefer longer; equal lengths keep the nearer (cheaper) offset.
-        if (l > best_len) { best_len = l; best_off = (u32)(cur - c); }
+        u32 o = (u32)(cur - (size_t)c);
+        int sc = 4 * (int)l - highbit(o | 1);
+        if (sc > best_score) { best_len = l; best_off = o; best_score = sc; }
       }
       c = M.chain[c];
     }
