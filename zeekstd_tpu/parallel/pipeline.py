@@ -589,7 +589,11 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
         offs = of_pool[map_seq]
         lit_flat = jnp.concatenate([static_lits.reshape(-1), dec.reshape(-1)])
         lits = lit_flat[lit_map].astype(jnp.uint8)
-        out, conv = execute_sequences_batch(lits, lls, mls, offs, out_bound)
+        from ..tpu_archive import FAST_DOUBLINGS
+
+        out, conv = execute_sequences_batch(
+            lits, lls, mls, offs, out_bound, FAST_DOUBLINGS
+        )
         totals = jnp.sum(lls.astype(jnp.int32) + mls, axis=1)
         return out, totals, unsafe_rep, conv
 
