@@ -24,7 +24,7 @@ import io
 import os
 
 from .codec.decompress import DCtx, StreamingFrameDecoder
-from .errors import OffsetOutOfRangeError, ZeekstdError
+from .errors import OffsetOutOfRangeError, ZeekstdError, corruption_detected
 from .seek_table import SeekTable
 from .seekable import Seekable, Start, as_seekable
 
@@ -218,17 +218,24 @@ class Decoder:
                 )
             from .tpu_codec import tpu_decompress_frame
 
-            out, _ = tpu_decompress_frame(buf)
+            out, fend = tpu_decompress_frame(buf)
         elif self._backend == "native":
             from .native.frame import native_decompress_frame
 
-            out, _ = native_decompress_frame(
+            out, fend = native_decompress_frame(
                 buf, expected_size + 64, prefix=self._prefix or b""
             )
         else:
             if self._prefix is not None:
                 self.dctx.ref_prefix(self._prefix)
-            out, _ = self.dctx.decompress_frame(buf)
+            out, fend = self.dctx.decompress_frame(buf)
+        if fend not in (None, len(buf)):
+            # A corrupted header (e.g. a cleared checksum flag) makes the
+            # frame consume fewer bytes than the seek table records — the
+            # canonical silent-corruption vector.
+            raise corruption_detected(
+                f"frame {index} consumed {fend} of {len(buf)} bytes"
+            )
         expected = self._st.frame_size_decomp(index)
         if len(out) != expected:
             raise ZeekstdError(

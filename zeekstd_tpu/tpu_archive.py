@@ -854,7 +854,17 @@ def tpu_decompress_archive(
             start = seek_table.frame_start_comp(i)
             if seek_table.frame_size_decomp(i) == 0 and seek_table.frame_end_comp(i) == start:
                 continue
-            plans.append(_plan_frame(blob, start))
+            hdr_i, plan_i, fpos_i = _plan_frame(blob, start)
+            # The frame must consume exactly its seek-table extent: a
+            # corrupted header (e.g. a flipped checksum-flag bit) otherwise
+            # shifts the trailer and decodes silently wrong.
+            consumed = fpos_i + (4 if hdr_i.has_checksum else 0)
+            if consumed != seek_table.frame_end_comp(i):
+                raise corruption_detected(
+                    f"frame {i} consumed {consumed - start} bytes; seek "
+                    f"table records {seek_table.frame_size_comp(i)}"
+                )
+            plans.append((hdr_i, plan_i, fpos_i))
             frame_starts.append(start)
     else:
         pos = 0
