@@ -649,7 +649,19 @@ def parallel_decompress(
     plans = []
     for i in frame_ids:
         start = seek_table.frame_start_comp(i)
-        plans.append(_plan_frame(archive, start))
+        hdr_i, plan_i, fpos_i = _plan_frame(archive, start)
+        # Each frame must consume exactly its seek-table extent (a flipped
+        # checksum-flag bit otherwise skips verification and decodes
+        # silently wrong — same guard as tpu_decompress_archive).
+        consumed = fpos_i + (4 if hdr_i.has_checksum else 0)
+        if consumed != seek_table.frame_end_comp(i):
+            from ..errors import corruption_detected
+
+            raise corruption_detected(
+                f"frame {i} consumed {consumed - start} bytes; seek table "
+                f"records {seek_table.frame_size_comp(i)}"
+            )
+        plans.append((hdr_i, plan_i, fpos_i))
 
     # Detect cross-block repeat usage (foreign archives): fall back.
     for hdr, plan, _ in plans:
