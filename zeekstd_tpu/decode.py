@@ -302,7 +302,10 @@ class Decoder:
         while self._stream_tail_pos + len(tail) <= rel:
             blk = self._stream.next_block()
             if blk is None:
-                return b""  # frame exhausted before offset: sizes disagree
+                raise corruption_detected(
+                    f"frame {index} exhausted before offset; decoded size "
+                    "disagrees with the seek table"
+                )
             # Dummy-decode: drop everything before the target offset.
             self._stream_tail_pos += len(tail)
             tail = self._stream_tail = bytearray(blk)
