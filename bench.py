@@ -147,6 +147,19 @@ def bench_native(corpus: bytes, frame_size: int):
     return best_enc, best_dec, len(blob) / n
 
 
+def _tpu_unavailable_note():
+    """The machine's TPU relay (host-managed) can die; a dead tunnel makes
+    device ops hang forever rather than error. Report the outage honestly
+    and point at the on-chip numbers measured while it was alive."""
+    return (
+        None, None, None,
+        "tpu UNAVAILABLE at bench time (host-side relay down; device ops "
+        "would hang) — last on-chip measurements in docs/PERF.md: "
+        "10MiB archive ~4.3s encode / ~3.9s decode on-device warm, "
+        "warmup 25s+10s from the persistent compile cache",
+    )
+
+
 def bench_tpu(corpus: bytes, frame_size: int):
     """(ondevice enc MiB/s, ondevice dec MiB/s, ratio, detail) via the
     batched TPU pipeline, full corpus.
@@ -172,10 +185,10 @@ def bench_tpu(corpus: bytes, frame_size: int):
         if probe.returncode != 0 or b"28" not in probe.stdout:
             log("tpu bench skipped: device probe failed "
                 f"(rc={probe.returncode})")
-            return None
+            return _tpu_unavailable_note()
     except Exception as e:
         log(f"tpu bench skipped: device probe hung/failed ({e!r})")
-        return None
+        return _tpu_unavailable_note()
 
     try:
         import jax.numpy as jnp
@@ -358,7 +371,7 @@ def main() -> int:
     budget = float(os.environ.get("BENCH_TPU_BUDGET_S", "240"))
     if os.environ.get("BENCH_SKIP_TPU") != "1" and time.time() - t_bench < budget:
         tpu = bench_tpu(corpus, frame_size)
-        if tpu:
+        if tpu and tpu[0] is not None:
             log(f"tpu ondevice: enc {tpu[0]:.1f} MiB/s dec {tpu[1]:.1f} MiB/s ratio {tpu[2]*100:.1f}%")
 
     best_enc = max(
@@ -367,7 +380,10 @@ def main() -> int:
     best_dec = max(
         [x for x in (native and native[1], tpu and tpu[1]) if x] or [0.0]
     )
-    ratio = (native or tpu)[2] if (native or tpu) else 1.0
+    ratio = (
+        native[2] if native
+        else (tpu[2] if tpu and tpu[2] is not None else 1.0)
+    )
 
     detail = []
     if native:
