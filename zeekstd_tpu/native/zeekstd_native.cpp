@@ -1410,7 +1410,7 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
   // it on for their per-block lazy fallback race (L1 stays single-probe
   // for speed).
   if (level >= 2) M.probe4 = true;
-  int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : 0));
+  int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : (level >= 10 ? 8 : (level >= 7 ? 4 : 0))));
   if (depth) M.enable_chain(prefix_n + n);
   if (level >= 15) M.enable_bt(prefix_n + n, false);
   if (g_ldm && level < 15) M.enable_ldm();
