@@ -1180,6 +1180,8 @@ def _huf_batch_dev(stream_list):
 
     if not stream_list:
         return jnp.zeros((1, 8), jnp.uint8), 8
+    from .tpu_codec import _get_huf_decode_packed_fn
+
     out_bound = 1 << max(max(olen for _, olen, _ in stream_list) - 1, 1).bit_length()
     word_bound = 1 << max(
         ((max(len(s) for s, _, _ in stream_list) + 3) // 4).bit_length(), 4
@@ -1188,22 +1190,33 @@ def _huf_batch_dev(stream_list):
     Wp = 1 << max((W - 1).bit_length(), 2)
     words = np.zeros((Wp, word_bound), np.uint32)
     starts = np.zeros(Wp, np.int32)
-    syms = np.zeros((Wp, 2048), np.int32)
-    nbs = np.zeros((Wp, 2048), np.int32)
-    mbs = np.zeros(Wp, np.int32)
+    tbl_idx = np.zeros(Wp, np.int32)
+    # Dedupe tables by identity: the 4 streams of a block share one.
+    tables = []
+    tbl_of = {}
     for i, (sbytes, olen, table) in enumerate(stream_list):
         w, sb = _words_from_bytes(sbytes, word_bound)
         words[i] = w
         starts[i] = sb
+        ti = tbl_of.get(id(table))
+        if ti is None:
+            ti = tbl_of[id(table)] = len(tables)
+            tables.append(table)
+        tbl_idx[i] = ti
+    T = len(tables)
+    Tp = 1 << max((T - 1).bit_length(), 1)
+    packed = np.zeros((Tp, 2048), np.int16)
+    mbs = np.ones(Tp, np.int32)
+    for ti, table in enumerate(tables):
         size = 1 << table.max_bits
-        syms[i, :size] = table.symbol
-        nbs[i, :size] = table.nb_bits
-        mbs[i] = table.max_bits
-    mbs[W:] = 1
-    fn = _get_huf_decode_fn(word_bound, out_bound)
+        packed[ti, :size] = (
+            table.symbol.astype(np.int32) | (table.nb_bits.astype(np.int32) << 8)
+        ).astype(np.int16)
+        mbs[ti] = table.max_bits
+    fn = _get_huf_decode_packed_fn(word_bound, out_bound)
     out = fn(
-        jnp.asarray(words), jnp.asarray(starts), jnp.asarray(syms),
-        jnp.asarray(nbs), jnp.asarray(mbs),
+        jnp.asarray(words), jnp.asarray(starts), jnp.asarray(tbl_idx),
+        jnp.asarray(packed), jnp.asarray(mbs),
     )
     return out, out_bound
 

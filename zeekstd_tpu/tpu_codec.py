@@ -409,6 +409,41 @@ def _get_huf_decode_fn(word_bound: int, out_bound: int):
     return _fns[key]
 
 
+def _get_huf_decode_packed_fn(word_bound: int, out_bound: int):
+    """Batch Huffman decode taking PACKED per-block tables: streams carry a
+    block index into int16[T, 2048] (symbol | nb_bits << 8) tables — 4
+    streams share one table and entries are 4x narrower than the separate
+    int32 sym/nb staging, a 16x upload cut on this latency-heavy link."""
+    jax, jnp = _lazy_jax()
+    key = ("huf_dec_packed", word_bound, out_bound)
+    if key not in _fns:
+        from .ops.huffman_spec import decode_stream_bitreach, decode_stream_spec
+
+        import os
+
+        use_bitreach = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("ZEEKSTD_TPU_HUF") != "spec"
+        )
+
+        def fn(words, start_bits, tbl_idx, packed_tables, max_bits_t):
+            def one(w, sb, ti):
+                packed = packed_tables[ti].astype(jnp.int32)
+                sym = packed & 0xFF
+                nb = packed >> 8
+                mb = max_bits_t[ti]
+                dec = (
+                    decode_stream_bitreach if use_bitreach else decode_stream_spec
+                )
+                out, _n = dec(w, sb, out_bound, sym, nb, mb)
+                return out
+
+            return jax.vmap(one)(words, start_bits, tbl_idx)
+
+        _fns[key] = jax.jit(fn)
+    return _fns[key]
+
+
 def _get_fse_decode_fn(word_bound: int, seq_bound: int):
     jax, jnp = _lazy_jax()
     key = ("fse_dec", word_bound, seq_bound)
