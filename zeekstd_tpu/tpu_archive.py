@@ -1232,6 +1232,8 @@ def _fse_batch_dev(seq_blocks):
         return (z, z, jnp.ones((1, 32), jnp.int32),
                 jnp.full((1, 32), 4, jnp.int32),
                 jnp.zeros(1, bool), 32)
+    from .tpu_codec import _get_fse_decode_packed_fn
+
     seq_bound = 1 << max((max(d["nseq"] for d in seq_blocks) - 1).bit_length(), 5)
     word_bound = 1 << max(
         ((max(len(d["payload"]) for d in seq_blocks) + 3) // 4).bit_length(), 4
@@ -1241,34 +1243,41 @@ def _fse_batch_dev(seq_blocks):
     words = np.zeros((Bp, word_bound), np.uint32)
     starts = np.zeros(Bp, np.int32)
     nseqs = np.zeros(Bp, np.int32)
-    dense = {
-        k: np.zeros((Bp, size), np.int32)
-        for k, size in (
-            ("lls", 512), ("lln", 512), ("llb", 512),
-            ("ofs", 256), ("ofn", 256), ("ofb", 256),
-            ("mls", 512), ("mln", 512), ("mlb", 512),
-        )
-    }
-    logs = np.zeros((Bp, 3), np.int32)
+    tidx = np.zeros((Bp, 3), np.int32)
+    # Dedupe decode tables by identity (Repeat_Mode blocks share them).
+    tables = []
+    tbl_of = {}
+
+    def table_index(t):
+        ti = tbl_of.get(id(t))
+        if ti is None:
+            ti = tbl_of[id(t)] = len(tables)
+            tables.append(t)
+        return ti
+
     for i, d in enumerate(seq_blocks):
         w, sb = _words_from_bytes(d["payload"], word_bound)
         words[i] = w
         starts[i] = sb
         nseqs[i] = d["nseq"]
         ll_t, of_t, ml_t = d["tables"]
-        for pre, t in (("ll", ll_t), ("of", of_t), ("ml", ml_t)):
-            size = 1 << t.accuracy_log
-            dense[pre + "s"][i, :size] = t.symbol
-            dense[pre + "n"][i, :size] = t.nb_bits
-            dense[pre + "b"][i, :size] = t.baseline
-        logs[i] = [ll_t.accuracy_log, of_t.accuracy_log, ml_t.accuracy_log]
-    fn = _get_fse_decode_fn(word_bound, seq_bound)
+        tidx[i] = [table_index(ll_t), table_index(of_t), table_index(ml_t)]
+    T = len(tables)
+    Tp = 1 << max((T - 1).bit_length(), 1)
+    packed = np.zeros((Tp, 512), np.int32)
+    logs_t = np.zeros(Tp, np.int32)
+    for ti, t in enumerate(tables):
+        size = 1 << t.accuracy_log
+        packed[ti, :size] = (
+            t.symbol.astype(np.int32)
+            | (t.nb_bits.astype(np.int32) << 8)
+            | (t.baseline.astype(np.int32) << 16)
+        )
+        logs_t[ti] = t.accuracy_log
+    fn = _get_fse_decode_packed_fn(word_bound, seq_bound)
     lls, mls, offs, ofvs, _reps, hasrep = fn(
         jnp.asarray(words), jnp.asarray(starts), jnp.asarray(nseqs),
-        jnp.asarray(dense["lls"]), jnp.asarray(dense["lln"]), jnp.asarray(dense["llb"]),
-        jnp.asarray(dense["ofs"]), jnp.asarray(dense["ofn"]), jnp.asarray(dense["ofb"]),
-        jnp.asarray(dense["mls"]), jnp.asarray(dense["mln"]), jnp.asarray(dense["mlb"]),
-        jnp.asarray(logs[:, 0]), jnp.asarray(logs[:, 1]), jnp.asarray(logs[:, 2]),
+        jnp.asarray(tidx), jnp.asarray(packed), jnp.asarray(logs_t),
     )
     return lls, mls, offs, ofvs, hasrep, seq_bound
 

@@ -444,6 +444,49 @@ def _get_huf_decode_packed_fn(word_bound: int, out_bound: int):
     return _fns[key]
 
 
+def _get_fse_decode_packed_fn(word_bound: int, seq_bound: int):
+    """Batch FSE sequence decode with PACKED deduped tables: each block
+    carries per-category table indices into int32[T, 512] entries
+    (symbol | nb_bits << 8 | baseline << 16; of tables pad to 512) —
+    Repeat_Mode blocks share tables, cutting the dense staging ~6-9x."""
+    jax, jnp = _lazy_jax()
+    key = ("fse_dec_packed", word_bound, seq_bound)
+    if key not in _fns:
+        from .ops.entropy import fse_decode_sequences
+
+        ll_cb = jnp.asarray(seq_mod.LL_BASE.astype(np.int32))
+        ll_bb = jnp.asarray(seq_mod.LL_BITS.astype(np.int32))
+        ml_cb = jnp.asarray(seq_mod.ML_BASE.astype(np.int32))
+        ml_bb = jnp.asarray(seq_mod.ML_BITS.astype(np.int32))
+
+        def fn(words, start_bits, n_seq, tidx, packed_tables, logs_t):
+            def unpack(ti):
+                pt = packed_tables[ti]
+                return pt & 0xFF, (pt >> 8) & 0xFF, pt >> 16
+
+            def one(w, sb, n, ti3):
+                lls, lln, llb = unpack(ti3[0])
+                ofs, ofn, ofb = unpack(ti3[1])
+                mls, mln, mlb = unpack(ti3[2])
+                dec_lls, dec_mls, dec_offs, dec_ofvs, reps = fse_decode_sequences(
+                    w, sb, seq_bound, n,
+                    lls, lln, llb, ofs[:256], ofn[:256], ofb[:256],
+                    mls, mln, mlb,
+                    logs_t[ti3[0]], logs_t[ti3[1]], logs_t[ti3[2]],
+                    ll_cb, ll_bb, ml_cb, ml_bb,
+                )
+                k = jnp.arange(dec_ofvs.shape[0], dtype=jnp.int32)
+                valid = k < n
+                safe = (dec_ofvs == 1) & (dec_lls > 0) & (k >= 1)
+                hasrep = jnp.any(valid & (dec_ofvs <= 3) & (~safe))
+                return dec_lls, dec_mls, dec_offs, dec_ofvs, reps, hasrep
+
+            return jax.vmap(one)(words, start_bits, n_seq, tidx)
+
+        _fns[key] = jax.jit(fn)
+    return _fns[key]
+
+
 def _get_fse_decode_fn(word_bound: int, seq_bound: int):
     jax, jnp = _lazy_jax()
     key = ("fse_dec", word_bound, seq_bound)
