@@ -1018,16 +1018,49 @@ def tpu_decompress_archive(
         static_np = np.zeros(sp, np.uint8)
         static_np[: len(static_lits)] = np.frombuffer(bytes(static_lits), np.uint8)
 
-        map_seq = np.zeros((F, S), np.int32)  # 0 -> padding const slot? no:
-        map_seq[:] = const_base  # padding -> consts[0] = (0, 0, 1)
-        lit_map = np.zeros((F, L), np.int32)
+        # The slot/literal index maps are run-structured (long consecutive
+        # ranges); uploading them dense costs ~10MB per 10MiB archive on
+        # this latency-heavy link. Ship per-frame segment triples
+        # (dest, base, len) instead — the exec dispatch rebuilds the dense
+        # maps on device with the scatter-add + cumsum segment-id pattern.
+        def runs_of(indices):
+            arr = np.asarray(indices, np.int64)
+            if arr.size == 0:
+                return np.zeros((0, 2), np.int64)
+            brk = np.nonzero(np.diff(arr) != 1)[0] + 1
+            starts = np.concatenate([[0], brk])
+            return np.stack([starts, arr[starts]], axis=1)  # (dest, base)
+
+        seq_runs = []
         for fi in range(F):
-            map_seq[fi, : len(seq_slots[fi])] = seq_slots[fi]
+            r = runs_of(seq_slots[fi])
+            seq_runs.append(r)
+        SEGS = 1 << max(
+            (max((len(r) for r in seq_runs), default=1) - 1).bit_length(), 2
+        )
+        seq_dest = np.full((F, SEGS), S, np.int32)  # S = dropped sentinel
+        seq_base = np.full((F, SEGS), const_base, np.int32)
+        nslots = np.zeros(F, np.int32)
+        for fi in range(F):
+            r = seq_runs[fi]
+            seq_dest[fi, : len(r)] = r[:, 0]
+            seq_base[fi, : len(r)] = r[:, 1]
+            nslots[fi] = len(seq_slots[fi])
+
+        SEGL = 1 << max(
+            (max((len(lit_segs[fi]) for fi in range(F)), default=1) - 1).bit_length(),
+            2,
+        )
+        lit_dest = np.full((F, SEGL), L, np.int32)
+        lit_base = np.zeros((F, SEGL), np.int32)
+        nlit_f = np.zeros(F, np.int32)
+        for fi in range(F):
             off = 0
-            for src, ln, is_static in lit_segs[fi]:
-                base = src if is_static else sp + src
-                lit_map[fi, off : off + ln] = base + np.arange(ln, dtype=np.int32)
+            for k, (src, ln, is_static) in enumerate(lit_segs[fi]):
+                lit_dest[fi, k] = off
+                lit_base[fi, k] = src if is_static else sp + src
                 off += ln
+            nlit_f[fi] = off
         consts_np = np.asarray(consts, np.int64)
 
         out_sizes = []
@@ -1069,7 +1102,7 @@ def tpu_decompress_archive(
     # --- device dispatch 3: assemble triples + execute ---------------------
     with phase_timer("dec.exec_dispatch") as _pt3:
         exec_shapes = (
-            (NB, dec_seq_bound), dec_streams.shape, (F, S), (F, L),
+            (NB, dec_seq_bound), dec_streams.shape, (F, S, SEGS), (F, L, SEGL),
             static_np.shape[0], consts_np.shape[0], out_bound,
         )
         nseq_dev = jnp.asarray(
@@ -1082,7 +1115,8 @@ def tpu_decompress_archive(
             jnp.asarray(consts_np[:, 0].astype(np.int32)),
             jnp.asarray(consts_np[:, 1].astype(np.int32)),
             jnp.asarray(consts_np[:, 2].astype(np.int32)),
-            jnp.asarray(map_seq), jnp.asarray(lit_map),
+            jnp.asarray(seq_dest), jnp.asarray(seq_base), jnp.asarray(nslots),
+            jnp.asarray(lit_dest), jnp.asarray(lit_base), jnp.asarray(nlit_f),
             jnp.asarray(static_np), dec_streams,
         )
         # Shallow program first: every doubling pass is a full-size gather
@@ -1316,9 +1350,26 @@ def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_const
     from .ops.seq_exec import execute_sequences_batch
 
     NB, seq_bound = seq_shape
+    _F, S, SEGS = map_shape
+    _F2, L, SEGL = lit_shape
+
+    def build_map(dest, base, nval, size, fill):
+        # Dense index map from run segments (dest, base): position j maps
+        # to base[seg] + (j - dest[seg]) with seg = rightmost dest <= j.
+        # scatter-add + cumsum (NOT scatter-max + associative_scan: that
+        # formulation is a 45-minute TPU compile at 2^20).
+        def one(d, b, nv):
+            counts = jnp.zeros(size, jnp.int32).at[d].add(1, mode="drop")
+            seg = jnp.clip(jnp.cumsum(counts) - 1, 0, d.shape[0] - 1)
+            j = jnp.arange(size, dtype=jnp.int32)
+            m = b[seg] + (j - d[seg])
+            return jnp.where(j < nv, m, fill)
+
+        return jax.vmap(one)(dest, base, nval)
 
     def fn(lls_b, mls_b, offs_b, nseq_v, chunk_v, c_ll, c_ml, c_of,
-           map_seq, lit_map, static_lits, dec_streams):
+           seq_dest, seq_base, nslots, lit_dest, lit_base, nlit_f,
+           static_lits, dec_streams):
         k = jnp.arange(seq_bound, dtype=jnp.int32)[None, :]
         mask = k < nseq_v[:, None]
         used = jnp.sum(jnp.where(mask, lls_b[:NB], 0), axis=1)
@@ -1327,10 +1378,15 @@ def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_const
         ll_pool = jnp.concatenate([lls_b[:NB].reshape(-1), trail, c_ll])
         ml_pool = jnp.concatenate([mls_b[:NB].reshape(-1), zero_t, c_ml])
         of_pool = jnp.concatenate([offs_b[:NB].reshape(-1), zero_t + 1, c_of])
+        pad_slot = ll_pool.shape[0] - c_ll.shape[0]  # consts[0] = (0, 0, 1)
+        map_seq = build_map(seq_dest, seq_base, nslots, S, pad_slot)
+        lit_map = build_map(lit_dest, lit_base, nlit_f, L, 0)
+        map_seq = jnp.clip(map_seq, 0, ll_pool.shape[0] - 1)
         lls = ll_pool[map_seq]
         mls = ml_pool[map_seq]
         offs = of_pool[map_seq]
         lit_flat = jnp.concatenate([static_lits, dec_streams.reshape(-1)])
+        lit_map = jnp.clip(lit_map, 0, lit_flat.shape[0] - 1)
         lits = lit_flat[lit_map].astype(jnp.uint8)
         out, conv = execute_sequences_batch(
             lits, lls, mls, offs, out_bound, n_doublings
