@@ -66,6 +66,43 @@ def assemble_archive(idx_map, static_pool, fse_bytes, huf_bytes, lits, frames):
     return flat[idx_map]
 
 
+def build_asm_map(seg_dest, seg_base, nval, size: int):
+    """Dense per-frame index maps from run segments on device.
+
+    ``seg_dest``/``seg_base`` are int32[F, SEGS]: segment k of frame f
+    writes pool bytes ``seg_base[f,k] + i`` at output offsets
+    ``seg_dest[f,k] + i``. Padding slots carry ``dest >= size`` so they
+    never contribute. Output position j belongs to the rightmost segment
+    whose dest <= j (scatter-add + cumsum — the formulation that compiles
+    fast on TPU; see tpu_archive._dec_exec_fn.build_map); positions at or
+    past ``nval[f]`` map to 0 (the static pool's reserved zero byte).
+
+    Uploading these runs costs KBs where the dense [F, frame_bound] map
+    costs 4 bytes per output byte — ~40 MB per 10 MiB archive through a
+    latency/bandwidth-bound host->device link (measured: the dense upload
+    made dispatch 4 the slowest encode stage).
+    """
+
+    def one(d, b, nv):
+        counts = jnp.zeros(size, jnp.int32).at[d].add(1, mode="drop")
+        seg = jnp.clip(jnp.cumsum(counts) - 1, 0, d.shape[0] - 1)
+        j = jnp.arange(size, dtype=jnp.int32)
+        m = b[seg] + (j - d[seg])
+        return jnp.where(j < nv, m, 0)
+
+    return jax.vmap(one)(seg_dest, seg_base, nval)
+
+
+def assemble_archive_runs(
+    seg_dest, seg_base, c_sizes, frame_bound: int,
+    static_pool, fse_bytes, huf_bytes, lits, frames,
+):
+    """``assemble_archive`` with the index map built on device from run
+    segments (the encode twin of the decode pipeline's segment maps)."""
+    idx_map = build_asm_map(seg_dest, seg_base, c_sizes, frame_bound)
+    return assemble_archive(idx_map, static_pool, fse_bytes, huf_bytes, lits, frames)
+
+
 class SegmentPlan:
     """Host-side index-map builder over the five-pool virtual layout.
 
@@ -137,3 +174,47 @@ class SegmentPlan:
                 )
                 off += length
         return idx_map, static, c_sizes
+
+    def build_runs(self, segs_bound: int | None = None, static_bound: int | None = None):
+        """Run-segment form of ``build``: returns (seg_dest int32[F, SEGS],
+        seg_base int32[F, SEGS], static_pool uint8[S], c_sizes int64[F]).
+
+        The dense index map is built ON DEVICE from these runs
+        (``build_asm_map``) — the host ships kilobytes of segment triples
+        instead of a 4-bytes-per-output-byte dense map. ``static_bound``
+        pads the static pool BEFORE pool bases are computed, so sharded
+        callers can agree on one shape without rebuilding maps.
+        """
+        c_sizes = np.asarray([self.frame_size(f) for f in range(self.F)], np.int64)
+        s_pad = 1 << max((len(self.static_blob) - 1).bit_length(), 8)
+        if static_bound is not None:
+            if static_bound < s_pad:
+                raise ValueError("static_bound below the pool size")
+            s_pad = static_bound
+        static = np.zeros(s_pad, np.uint8)
+        static[: len(self.static_blob)] = np.frombuffer(
+            bytes(self.static_blob), np.uint8
+        )
+        b0, b1, b2, b3, b4 = self._bases(len(static))
+        base_of = {"s": b0, "f": b1, "h": b2, "l": b3, "r": b4}
+        nseg = max((len(s) for s in self.segments), default=1)
+        SEGS = 1 << max((max(nseg, 1) - 1).bit_length(), 2)
+        if segs_bound is not None:
+            if segs_bound < SEGS:
+                raise ValueError("segs_bound below the segment count")
+            SEGS = segs_bound
+        # Padding slots: dest = INT32_MAX/2 never contributes a count within
+        # any frame_bound; first real segment of every frame is at dest 0.
+        seg_dest = np.full((self.F, SEGS), 1 << 30, np.int32)
+        seg_base = np.zeros((self.F, SEGS), np.int32)
+        for f in range(self.F):
+            off = 0
+            k = 0
+            for kind, src, length in self.segments[f]:
+                if length == 0:
+                    continue
+                seg_dest[f, k] = off
+                seg_base[f, k] = base_of[kind] + src
+                off += length
+                k += 1
+        return seg_dest, seg_base, static, c_sizes

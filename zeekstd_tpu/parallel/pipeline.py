@@ -162,30 +162,33 @@ def _sharded_encode_fn(mesh, SB, fse_wb, seg_bound, huf_wb, shapes):
     return _sh_fns[key]
 
 
-def _sharded_assemble_fn(mesh, shapes, gather_bytes: bool = True):
+def _sharded_assemble_fn(mesh, frame_bound, gather_bytes: bool = True):
     """Dispatch 4 sharded + the load-bearing collectives: each device
-    assembles its frames' bytes, then all-gathers the per-frame entries —
-    and, with ``gather_bytes`` (the single-host default), the frame bytes
-    too, so every participant holds the full ordered archive. Multi-host
-    callers pass ``gather_bytes=False``: only the tiny entry array crosses
-    DCN and each host keeps its own compressed rows (the distributed form
-    of the reference's sequential writer, encode.rs:743-775)."""
+    assembles its frames' bytes (index maps built on device from run
+    segments — KBs across the link instead of a dense 4 B/byte map), then
+    all-gathers the per-frame entries — and, with ``gather_bytes`` (the
+    single-host default), the frame bytes too, so every participant holds
+    the full ordered archive. Multi-host callers pass
+    ``gather_bytes=False``: only the tiny entry array crosses DCN and each
+    host keeps its own compressed rows (the distributed form of the
+    reference's sequential writer, encode.rs:743-775)."""
     jax, jnp = _jax()
     from jax.sharding import PartitionSpec as P
 
-    from ..ops.assemble import assemble_archive, finalize_streams
+    from ..ops.assemble import assemble_archive_runs, finalize_streams
 
-    key = ("asm", _mesh_key(mesh), shapes, gather_bytes)
+    key = ("asm", _mesh_key(mesh), frame_bound, gather_bytes)
     if key in _sh_fns:
         return _sh_fns[key]
     axis = mesh.axis_names[0]
 
-    def per_device(idx_map, static_pool, fse_w, fse_b, huf_w, huf_b, lits,
-                   frames, entries):
+    def per_device(seg_dest, seg_base, c_sizes, static_pool, fse_w, fse_b,
+                   huf_w, huf_b, lits, frames, entries):
         fse_bytes = finalize_streams(fse_w, fse_b)
         huf_bytes = finalize_streams(huf_w, huf_b)
-        rows = assemble_archive(
-            idx_map, static_pool.reshape(-1), fse_bytes, huf_bytes, lits, frames
+        rows = assemble_archive_runs(
+            seg_dest, seg_base, c_sizes, frame_bound,
+            static_pool.reshape(-1), fse_bytes, huf_bytes, lits, frames,
         )
         if gather_bytes:
             rows = jax.lax.all_gather(rows, axis, tiled=True)
@@ -196,7 +199,9 @@ def _sharded_assemble_fn(mesh, shapes, gather_bytes: bool = True):
         per_device,
         mesh=mesh,
         in_specs=(
-            P(axis, None), P(axis, None),  # idx_map, static (D, S)
+            P(axis, None), P(axis, None),  # seg_dest, seg_base (F, SEGS)
+            P(axis),                       # c_sizes (F,)
+            P(axis, None),                 # static (D, S)
             P(axis, None), P(axis),        # fse words/bits
             P(axis, None), P(axis),        # huf words/bits
             P(axis, None), P(axis, None),  # lits, frames
@@ -434,54 +439,54 @@ def parallel_compress(
             for f in range(F_loc)
         ]
 
-    idx_maps, statics, entries = [], [], []
-    frame_bound = 128
-    layouts = []
+    # First pass: build the per-device segment plans, then agree on the
+    # shared static bounds (segment count, static pool, frame bound) across
+    # processes; the run-segment arrays are rebuilt cheaply at the common
+    # bounds (no dense maps exist host-side at all).
+    plans = []
+    nseg_loc = 1
+    static_loc = 256
+    cmax_loc = 128
     for li, d in enumerate(my_devs):
         blocks, huf_jobs, fse_jobs = dev_jobs[li]
         lo = li * F_loc
-        idx_map, static_pool, c_sizes, d_sizes = _layout_archive(
+        plan, d_sizes = _layout_archive(
             dev_datas(d), blocks, overflow[lo : lo + F_loc],
             fse_b_np[li], huf_b_np[li],
             (NBp, fse_wb * 4), (NJp, huf_wb * 4),
             (F_loc, lits_d.shape[1]), (F_loc, frame_size), checksum,
         )
-        layouts.append((idx_map, static_pool, c_sizes, d_sizes))
-        frame_bound = max(frame_bound, idx_map.shape[1])
-    frame_bound = _allmax(frame_bound)
-    static_bound = _allmax(max(l[1].shape[0] for l in layouts))
+        plans.append((plan, d_sizes))
+        nseg_loc = max(nseg_loc, max((len(s) for s in plan.segments), default=1))
+        static_loc = max(static_loc, len(plan.static_blob))
+        cmax_loc = max(cmax_loc, max(plan.frame_size(f) for f in range(F_loc)))
+    SEGS = 1 << max((_allmax(nseg_loc) - 1).bit_length(), 2)
+    static_bound = 1 << max((_allmax(static_loc) - 1).bit_length(), 8)
+    frame_bound = 1 << max((_allmax(cmax_loc) - 1).bit_length(), 7)
+
+    dests, bases, csz, statics, entries = [], [], [], [], []
     for li, d in enumerate(my_devs):
-        idx_map, static_pool, c_sizes, d_sizes = layouts[li]
-        if idx_map.shape[1] < frame_bound or static_pool.shape[0] < static_bound:
-            # Rebuild at the common bounds (index maps embed the static
-            # pool size, so padding must happen before map construction).
-            blocks, huf_jobs, fse_jobs = dev_jobs[li]
-            lo = li * F_loc
-            idx_map, static_pool, c_sizes, d_sizes = _layout_archive(
-                dev_datas(d), blocks, overflow[lo : lo + F_loc],
-                fse_b_np[li], huf_b_np[li],
-                (NBp, fse_wb * 4), (NJp, huf_wb * 4),
-                (F_loc, lits_d.shape[1]), (F_loc, frame_size), checksum,
-                frame_bound=frame_bound,
-            )
-            if static_pool.shape[0] < static_bound:
-                pad = np.zeros(static_bound, np.uint8)
-                pad[: static_pool.shape[0]] = static_pool
-                # indices into pools AFTER static shift by the pad delta
-                delta = static_bound - static_pool.shape[0]
-                idx_map = np.where(
-                    idx_map >= static_pool.shape[0], idx_map + delta, idx_map
-                )
-                static_pool = pad
-        idx_maps.append(idx_map)
+        plan, d_sizes = plans[li]
+        seg_dest, seg_base, static_pool, c_sizes = plan.build_runs(
+            segs_bound=SEGS, static_bound=static_bound
+        )
+        dests.append(seg_dest)
+        bases.append(seg_base)
+        csz.append(c_sizes.astype(np.int32))
         statics.append(static_pool)
         entries.append(
             np.stack([c_sizes.astype(np.int64),
                       np.asarray(d_sizes, np.int64)], axis=1)
         )
 
-    idx_all = jax.make_array_from_process_local_data(
-        sh2, np.concatenate(idx_maps, axis=0), (F_pad, frame_bound)
+    dest_all = jax.make_array_from_process_local_data(
+        sh2, np.concatenate(dests, axis=0), (F_pad, SEGS)
+    )
+    base_all = jax.make_array_from_process_local_data(
+        sh2, np.concatenate(bases, axis=0), (F_pad, SEGS)
+    )
+    csz_all = jax.make_array_from_process_local_data(
+        sh1, np.concatenate(csz, axis=0), (F_pad,)
     )
     statics_np = np.stack(statics)
     static_all = jax.make_array_from_process_local_data(
@@ -492,10 +497,10 @@ def parallel_compress(
     )
 
     # --- dispatch 4 (sharded): assemble + entry/byte collectives ----------
-    asm = _sharded_assemble_fn(mesh, None, gather_bytes=gather_bytes)
+    asm = _sharded_assemble_fn(mesh, frame_bound, gather_bytes=gather_bytes)
     rows_out, entries_all = asm(
-        idx_all, static_all, fse_w, fse_b, huf_w, huf_b, lits_d, frames_d,
-        entries_all_in,
+        dest_all, base_all, csz_all, static_all, fse_w, fse_b, huf_w, huf_b,
+        lits_d, frames_d, entries_all_in,
     )
 
     # --- every host: seek table FROM the gathered entries -----------------

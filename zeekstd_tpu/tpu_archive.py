@@ -484,11 +484,14 @@ def _huf_inputs(huf_jobs, seg_bound: int | None = None, pad_to: int | None = Non
 def _layout_archive(
     datas, blocks, overflow, fse_bits, huf_bits,
     fse_byte_shape, huf_byte_shape, lits_shape, frames_shape,
-    checksum: bool, frame_bound: int | None = None,
+    checksum: bool,
 ):
     """Byte-exact archive layout (host): one SegmentPlan over the local
-    frames ``datas`` (list of per-frame bytes). Returns
-    (idx_map, static_pool, c_sizes, d_sizes)."""
+    frames ``datas`` (list of per-frame bytes). Returns (plan, d_sizes);
+    callers pick the array form (``plan.build_runs`` ships KB-scale run
+    segments and builds the dense map on device — the dense
+    ``plan.build`` upload was the slowest encode stage at 4 B/output
+    byte through this host->device link)."""
     from .ops.assemble import SegmentPlan
 
     F = len(datas)
@@ -527,8 +530,7 @@ def _layout_archive(
             h = XXH64(0)
             h.update(fdata)
             plan.add_static(f, (h.digest() & 0xFFFF_FFFF).to_bytes(4, "little"))
-    idx_map, static_pool, c_sizes = plan.build(frame_bound)
-    return idx_map, static_pool, c_sizes, d_sizes
+    return plan, d_sizes
 
 
 def tpu_compress_archive(
@@ -657,22 +659,26 @@ def tpu_compress_archive(
     datas = [
         data[f * frame_size : f * frame_size + int(lengths[f])] for f in range(F)
     ]
-    idx_map, static_pool, c_sizes, d_sizes = _layout_archive(
+    plan, d_sizes = _layout_archive(
         datas, blocks, overflow, fse_bits, huf_bits,
         (fse_words.shape[0], fse_words.shape[1] * 4),
         (huf_words.shape[0], huf_words.shape[1] * 4),
         lits_d.shape, frames.shape, checksum,
     )
+    seg_dest, seg_base, static_pool, c_sizes = plan.build_runs()
+    frame_bound = 1 << max((int(c_sizes.max()) - 1).bit_length(), 7)
     _t_asm.__exit__()
 
-    # --- dispatch 4: device byte assembly ---------------------------------
+    # --- dispatch 4: device byte assembly (index map built on device from
+    # the run segments; the dense map never crosses the host->device link) --
     _t_dev = phase_timer("enc.assemble_dispatch").__enter__()
     fn = _assemble_jit(
-        idx_map.shape, static_pool.shape, fse_words.shape, huf_words.shape,
-        lits_d.shape, frames.shape,
+        seg_dest.shape, frame_bound, static_pool.shape, fse_words.shape,
+        huf_words.shape, lits_d.shape, frames.shape,
     )
     rows_dev = fn(
-        jnp.asarray(idx_map), jnp.asarray(static_pool),
+        jnp.asarray(seg_dest), jnp.asarray(seg_base),
+        jnp.asarray(c_sizes.astype(np.int32)), jnp.asarray(static_pool),
         fse_words, jnp.asarray(np.asarray(fse_bits, np.int32)),
         huf_words, jnp.asarray(np.asarray(huf_bits, np.int32)),
         lits_d, jnp.asarray(frames),
@@ -692,17 +698,20 @@ def tpu_compress_archive(
     return blob, st
 
 
-def _assemble_jit(idx_shape, static_shape, fse_shape, huf_shape, lits_shape, frames_shape):
-    key = ("assemble", idx_shape, static_shape, fse_shape, huf_shape, lits_shape, frames_shape)
+def _assemble_jit(segs_shape, frame_bound, static_shape, fse_shape, huf_shape, lits_shape, frames_shape):
+    key = ("assemble", segs_shape, frame_bound, static_shape, fse_shape, huf_shape, lits_shape, frames_shape)
     if key in _fns:
         return _fns[key]
     jax, jnp = _jx()
-    from .ops.assemble import assemble_archive, finalize_streams
+    from .ops.assemble import assemble_archive_runs, finalize_streams
 
-    def fn(idx_map, static_pool, fse_w, fse_b, huf_w, huf_b, lits, frames):
+    def fn(seg_dest, seg_base, c_sizes, static_pool, fse_w, fse_b, huf_w, huf_b, lits, frames):
         fse_bytes = finalize_streams(fse_w, fse_b)
         huf_bytes = finalize_streams(huf_w, huf_b)
-        return assemble_archive(idx_map, static_pool, fse_bytes, huf_bytes, lits, frames)
+        return assemble_archive_runs(
+            seg_dest, seg_base, c_sizes, frame_bound,
+            static_pool, fse_bytes, huf_bytes, lits, frames,
+        )
 
     _fns[key] = jax.jit(fn)
     return _fns[key]
