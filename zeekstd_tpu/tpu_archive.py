@@ -533,15 +533,40 @@ def _layout_archive(
     return plan, d_sizes
 
 
+class StagedInput:
+    """Archive input staged on device once: reuse across repeated
+    compressions (the benchmark discipline — input upload over the
+    host->device link is reported separately from on-device compute)."""
+
+    def __init__(self, data: bytes, frame_size: int):
+        _, jnp = _jx()
+        self.data = data
+        self.frame_size = frame_size
+        n = len(data)
+        F = -(-n // frame_size)
+        frames = np.zeros((F, frame_size), np.uint8)
+        lengths = np.zeros(F, np.int32)
+        for i in range(F):
+            chunk = data[i * frame_size : (i + 1) * frame_size]
+            frames[i, : len(chunk)] = np.frombuffer(chunk, np.uint8)
+            lengths[i] = len(chunk)
+        self.lengths = lengths
+        with phase_timer("enc.input_stage") as _pt:
+            self.frames_dev = jnp.asarray(frames)
+            self.lengths_dev = jnp.asarray(lengths)
+            _pt.fence(self.frames_dev)
+
+
 def tpu_compress_archive(
-    data: bytes,
+    data,
     frame_size: int = 2 << 20,
     checksum: bool = False,
     return_device: bool = False,
     level: int = 3,
 ):
-    """Compress ``data`` into seekable frames with the batched device
-    pipeline; returns (frames_blob, SeekTable).
+    """Compress ``data`` (bytes, or a ``StagedInput`` already resident on
+    device) into seekable frames with the batched device pipeline; returns
+    (frames_blob, SeekTable).
 
     With ``return_device=True`` the final pull is skipped and
     (device_rows uint8[F, frame_bound], c_sizes, SeekTable) is returned —
@@ -549,6 +574,11 @@ def tpu_compress_archive(
     """
     jax, jnp = _jx()
 
+    staged = data if isinstance(data, StagedInput) else None
+    if staged is not None:
+        if staged.frame_size != frame_size:
+            raise ValueError("StagedInput frame_size mismatch")
+        data = staged.data
     n = len(data)
     if n == 0:
         from .codec.compress import compress_frame
@@ -562,18 +592,20 @@ def tpu_compress_archive(
     B = -(-frame_size // BLOCK_SIZE)
     seq_bound = min(1 << 18, max(2048, frame_size // 8))
 
-    frames = np.zeros((F, frame_size), np.uint8)
-    lengths = np.zeros(F, np.int32)
-    for i in range(F):
-        chunk = data[i * frame_size : (i + 1) * frame_size]
-        frames[i, : len(chunk)] = np.frombuffer(chunk, np.uint8)
-        lengths[i] = len(chunk)
+    # Input rows cross the host->device link exactly ONCE (both the parse
+    # and the assembler read them; a second jnp.asarray of the same numpy
+    # array re-uploads the whole corpus — ~2s per 10 MiB on this tunnel).
+    if staged is None:
+        staged = StagedInput(data, frame_size)
+    frames_dev = staged.frames_dev
+    lengths = staged.lengths
+    frames_shape = (F, frame_size)
 
     # --- dispatch 1: parse + stats ---------------------------------------
     with phase_timer("enc.parse_dispatch") as _pt:
         parse = _parse_stats_packed_fn(frame_size, seq_bound, B, level)
         (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d) = parse(
-            jnp.asarray(frames), jnp.asarray(lengths)
+            frames_dev, staged.lengths_dev
         )
         _pt.fence(stats_d)
 
@@ -663,7 +695,7 @@ def tpu_compress_archive(
         datas, blocks, overflow, fse_bits, huf_bits,
         (fse_words.shape[0], fse_words.shape[1] * 4),
         (huf_words.shape[0], huf_words.shape[1] * 4),
-        lits_d.shape, frames.shape, checksum,
+        lits_d.shape, frames_shape, checksum,
     )
     seg_dest, seg_base, static_pool, c_sizes = plan.build_runs()
     frame_bound = 1 << max((int(c_sizes.max()) - 1).bit_length(), 7)
@@ -674,14 +706,14 @@ def tpu_compress_archive(
     _t_dev = phase_timer("enc.assemble_dispatch").__enter__()
     fn = _assemble_jit(
         seg_dest.shape, frame_bound, static_pool.shape, fse_words.shape,
-        huf_words.shape, lits_d.shape, frames.shape,
+        huf_words.shape, lits_d.shape, frames_shape,
     )
     rows_dev = fn(
         jnp.asarray(seg_dest), jnp.asarray(seg_base),
         jnp.asarray(c_sizes.astype(np.int32)), jnp.asarray(static_pool),
         fse_words, jnp.asarray(np.asarray(fse_bits, np.int32)),
         huf_words, jnp.asarray(np.asarray(huf_bits, np.int32)),
-        lits_d, jnp.asarray(frames),
+        lits_d, frames_dev,
     )
     _t_dev.fence(rows_dev)
     _t_dev.__exit__()
