@@ -308,62 +308,66 @@ def normalize_counts(counts, table_log: int, total: int, max_symbol: int):
 
 
 def build_encode_table(norm, accuracy_log: int) -> FseEncodeTable:
-    """Canonical FSE encode-table construction (mirror of the decode spread)."""
-    size = 1 << accuracy_log
-    max_symbol = len(norm) - 1
+    """Canonical FSE encode-table construction (mirror of the decode spread).
 
-    # Symbol spread, identical to the decoder's.
-    table_symbol = np.zeros(size, dtype=np.int32)
-    high_threshold = size - 1
-    for s, n in enumerate(norm):
-        if n == -1:
-            table_symbol[high_threshold] = s
-            high_threshold -= 1
-    step = (size >> 1) + (size >> 3) + 3
-    mask = size - 1
-    pos = 0
-    for s, n in enumerate(norm):
-        if n <= 0:
-            continue
-        for _ in range(n):
-            table_symbol[pos] = s
-            pos = (pos + step) & mask
-            while pos > high_threshold:
-                pos = (pos + step) & mask
-    if pos != 0:
+    Vectorized with the same spread-orbit permutation as
+    ``build_decode_table``: this runs per block per category in the batched
+    TPU encoder's host-decision phase (tpu_archive._host_jobs), where the
+    serial per-cell loops dominated the phase (~0.36 ms/call x ~1000
+    calls per 10 MiB archive)."""
+    size = 1 << accuracy_log
+    norm_np = np.asarray(norm, dtype=np.int64)
+    nsym = len(norm_np)
+
+    neg = norm_np == -1
+    n_neg = int(neg.sum())
+    high_threshold = size - 1 - n_neg
+    total_spread = int(norm_np[norm_np > 0].sum())
+    if total_spread != size - n_neg:
         raise corruption_detected("FSE table spread did not return to zero")
 
-    # cumul[s] = first state slot owned by symbol s (in sorted-state order).
-    cumul = np.zeros(max_symbol + 2, dtype=np.int32)
-    for s, n in enumerate(norm):
-        cumul[s + 1] = cumul[s] + (1 if n == -1 else n)
+    # Symbol spread, identical to the decoder's: -1 symbols occupy the
+    # table top (descending positions in ascending symbol order); the rest
+    # follow the step-orbit, skipping cells above the high threshold.
+    table_symbol = np.zeros(size, dtype=np.int64)
+    if n_neg:
+        table_symbol[size - n_neg :] = np.nonzero(neg)[0][::-1]
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    if total_spread:
+        orbit = (np.arange(size, dtype=np.int64) * step) & mask
+        positions = orbit[orbit <= high_threshold]
+        spread_syms = np.repeat(
+            np.arange(nsym, dtype=np.int64), np.clip(norm_np, 0, None)
+        )
+        table_symbol[positions] = spread_syms
 
-    # state_table: scanning table positions in order assigns each symbol its
-    # states in increasing order; stored value is position + size.
-    state_table = np.zeros(size, dtype=np.uint16)
-    fill = cumul[: max_symbol + 1].copy()
-    for position in range(size):
-        s = int(table_symbol[position])
-        state_table[fill[s]] = position + size
-        fill[s] += 1
+    # state_table: the serial loop scans table positions in order and hands
+    # each symbol its state slots in increasing order starting at cumul[s]
+    # (= exclusive prefix of per-symbol cell counts). A stable argsort by
+    # symbol reproduces that exact slot order: slot j holds position
+    # order[j] (+ size).
+    order = np.argsort(table_symbol, kind="stable")
+    state_table = (order + size).astype(np.uint16)
 
-    delta_nb = np.zeros(max_symbol + 1, dtype=np.int64)
-    delta_fs = np.zeros(max_symbol + 1, dtype=np.int64)
-    total = 0
-    for s, n in enumerate(norm):
-        if n == 0:
-            delta_nb[s] = ((accuracy_log + 1) << 16) - size
-        elif n in (1, -1):
-            delta_nb[s] = (accuracy_log << 16) - size
-            delta_fs[s] = total - 1
-            total += 1
-        else:
-            max_bits_out = accuracy_log - ((n - 1).bit_length() - 1)
-            min_state_plus = n << max_bits_out
-            delta_nb[s] = (max_bits_out << 16) - min_state_plus
-            delta_fs[s] = total - n
-            total += n
-    return FseEncodeTable(accuracy_log, delta_nb, delta_fs, state_table, list(norm))
+    # Per-symbol deltas. For n in (1, -1) the general formula degenerates
+    # to max_bits_out = accuracy_log, min_state_plus = size — the serial
+    # code's special case — via n_eff = 1.
+    counts = np.where(neg, 1, np.clip(norm_np, 0, None))
+    zero = counts == 0
+    n_eff = np.maximum(counts, 1)
+    # floor(log2(n_eff - 1)) with the n_eff == 1 lane clamped (unused
+    # there: frexp(1)[1] - 1 == 0 gives max_bits_out = accuracy_log).
+    nm1 = np.maximum(n_eff - 1, 1)
+    mbo = accuracy_log - (np.frexp(nm1.astype(np.float64))[1].astype(np.int64) - 1)
+    delta_nb = np.where(
+        zero, ((accuracy_log + 1) << 16) - size, (mbo << 16) - (n_eff << mbo)
+    )
+    excl = np.cumsum(counts) - counts
+    delta_fs = np.where(zero, 0, excl - n_eff)
+    return FseEncodeTable(
+        accuracy_log, delta_nb, delta_fs, state_table, list(norm)
+    )
 
 
 class FseEncState:

@@ -98,46 +98,42 @@ def _choose_table(codes, category: str, default_norm, default_log, max_code, max
         sym = int(np.argmax(hist))
         return MODE_RLE, build_encode_table([0] * sym + [1], 0), bytes([sym]), 0
 
+    # Vectorized -sum(c * log2(p)) costs (this runs per block per category
+    # in the batched encoder's host-decision phase).
+    hc = hist[: max_code + 1].astype(np.float64)
+    present = hc > 0
+
+    def _table_bits(tbl_norm, tbl_log):
+        """(cost_bits, covers_all) for coding ``hist`` with a table whose
+        normalized counts are ``tbl_norm``; -1 entries cost ~tbl_log+1 bits
+        (p = 0.5 of a state's worth, the serial loops' 0.5 convention)."""
+        tn = np.asarray(tbl_norm, dtype=np.float64)
+        if len(tn) < max_code + 1:
+            tn = np.pad(tn, (0, max_code + 1 - len(tn)))
+        else:
+            tn = tn[: max_code + 1]
+        if np.any(present & (tn == 0)):
+            return None
+        p = np.where(tn > 0, tn, 0.5)
+        return float(
+            np.sum(np.where(present, hc * (tbl_log - np.log2(p)), 0.0))
+        )
+
     # Predefined cost: -log2(p) per symbol; -1 entries cost accuracy_log bits.
-    pred_bits = 0.0
-    pred_ok = True
-    for s in range(max_code + 1):
-        c = int(hist[s])
-        if c == 0:
-            continue
-        if s >= len(default_norm) or default_norm[s] == 0:
-            pred_ok = False
-            break
-        p = default_norm[s] if default_norm[s] > 0 else 0.5
-        pred_bits += c * (default_log - np.log2(p))
+    pred_bits = _table_bits(default_norm, default_log)
+    pred_ok = pred_bits is not None
 
     # Dedicated FSE table cost.
     log = optimal_table_log(max_log, n, max_code)
     max_present = int(np.max(np.nonzero(hist)[0]))
     norm = normalize_counts(hist, log, n, max_present)
     desc = write_ncount(norm, log)
-    fse_bits = 8 * len(desc)
-    for s in range(max_present + 1):
-        c = int(hist[s])
-        if c == 0:
-            continue
-        p = norm[s] if norm[s] > 0 else 0.5
-        fse_bits += c * (log - np.log2(p))
+    fse_bits = 8 * len(desc) + _table_bits(norm, log)
 
     # Repeat-mode cost: previous block's table, no description bytes.
     rep_bits = None
     if prev_table is not None and prev_table.accuracy_log > 0:
-        pnorm = prev_table.norm
-        rep_bits = 0.0
-        for s in range(max_code + 1):
-            c = int(hist[s])
-            if c == 0:
-                continue
-            if s >= len(pnorm) or pnorm[s] == 0:
-                rep_bits = None
-                break
-            p = pnorm[s] if pnorm[s] > 0 else 0.5
-            rep_bits += c * (prev_table.accuracy_log - np.log2(p))
+        rep_bits = _table_bits(prev_table.norm, prev_table.accuracy_log)
 
     best = min(
         x

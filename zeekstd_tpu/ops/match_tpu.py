@@ -279,9 +279,13 @@ def greedy_reachability(step, n: int, block_size: int | None = None,
 def level_depths(level: int):
     """TPU level knob: (short-chain depth, long-chain depth) — the parallel
     analog of libzstd's per-level search depth (reference level range:
-    cli/src/args.rs:191-193)."""
+    cli/src/args.rs:191-193). Level 1 is a single-table speed level (no
+    16-byte long-hash pass), matching libzstd's ``fast`` strategy and the
+    native runtime's level 1: each sorted-hash pass costs one argsort +
+    one (n, K) strip row-gather + one scatter, so dropping the long pass
+    removes ~a third of the parse's device time."""
     if level <= 1:
-        return 1, 1
+        return 1, 0
     if level <= 4:
         return 2, 3
     return 4, 6
@@ -319,16 +323,17 @@ def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: i
     cand, mlen, cont = sorted_hash_matches(
         data_u8, h, ds, block_size, n_valid, cap=cap, cont_words=cw
     )
-    h_l = hash_positions_long(data_u8)
-    cand_l, mlen_l, cont_l = sorted_hash_matches(
-        data_u8, h_l, dl, block_size, n_valid, cap=cap, cont_words=cw
-    )
-    better = jnp.logical_or(
-        mlen_l > mlen, jnp.logical_and(mlen_l == mlen, cont_l > cont)
-    )
-    cand = jnp.where(better, cand_l, cand)
-    mlen = jnp.where(better, mlen_l, mlen)
-    cont = jnp.where(better, cont_l, cont)
+    if dl > 0:
+        h_l = hash_positions_long(data_u8)
+        cand_l, mlen_l, cont_l = sorted_hash_matches(
+            data_u8, h_l, dl, block_size, n_valid, cap=cap, cont_words=cw
+        )
+        better = jnp.logical_or(
+            mlen_l > mlen, jnp.logical_and(mlen_l == mlen, cont_l > cont)
+        )
+        cand = jnp.where(better, cand_l, cand)
+        mlen = jnp.where(better, mlen_l, mlen)
+        cont = jnp.where(better, cont_l, cont)
     if level >= 2:
         # 4-byte near pass (depth 1): the only finder of the short matches
         # structured data is made of; the cost gate below keeps far short
