@@ -55,6 +55,23 @@ def test_parallel_equals_serial_frames():
     assert st.to_bytes() == st1.to_bytes()
 
 
+@pytest.mark.parametrize("level", [1, 3, 9])
+def test_parallel_honors_level(level):
+    # ``parallel_compress(data, level=L)`` must byte-match
+    # ``tpu_compress_archive(data, level=L)`` — the level has to reach the
+    # sharded parse (a silently defaulted level-3 parse would diverge at
+    # L=1 and L=9).
+    from zeekstd_tpu.tpu_archive import tpu_compress_archive
+
+    data = text_data(120_000)
+    mesh = make_mesh()
+    blob, st = parallel_compress(data, mesh, frame_size=32_768, level=level)
+    blob1, st1 = tpu_compress_archive(data, frame_size=32_768, level=level)
+    assert blob == blob1
+    assert st.to_bytes() == st1.to_bytes()
+    assert zstd_decompress(blob) == data
+
+
 def test_seek_table_built_from_gathered_entries():
     # The SeekTable must be derived from the all-gathered entry array, so
     # its entries must agree with the actual zstd frame boundaries found

@@ -128,7 +128,11 @@ def _choose_table(codes, category: str, default_norm, default_log, max_code, max
     max_present = int(np.max(np.nonzero(hist)[0]))
     norm = normalize_counts(hist, log, n, max_present)
     desc = write_ncount(norm, log)
-    fse_bits = 8 * len(desc) + _table_bits(norm, log)
+    dedicated_bits = _table_bits(norm, log)
+    # normalize_counts guarantees every present symbol a nonzero (>=1 or
+    # -1) entry; a None here would mean that invariant broke upstream.
+    assert dedicated_bits is not None, "dedicated table must cover all present symbols"
+    fse_bits = 8 * len(desc) + dedicated_bits
 
     # Repeat-mode cost: previous block's table, no description bytes.
     rep_bits = None

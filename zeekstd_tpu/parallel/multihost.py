@@ -106,7 +106,8 @@ def host_write_plan(c_sizes, d_sizes, first_frame: int, n_local: int):
 
 def multihost_compress(data_local: bytes, first_frame: int = 0,
                        n_total: int | None = None,
-                       frame_size: int = 2 << 20, mesh=None):
+                       frame_size: int = 2 << 20, mesh=None,
+                       level: int = 3):
     """SPMD entry point: compress this process's slice of a logical
     ``n_total``-byte input; every process calls this with its own slice
     (``data_local`` starts at global frame ``first_frame``).
@@ -130,6 +131,7 @@ def multihost_compress(data_local: bytes, first_frame: int = 0,
     local_rows, first_row, st = parallel_compress(
         data_local, mesh, frame_size=frame_size,
         first_frame=first_frame, n_total=n_total, gather_bytes=False,
+        level=level,
     )
     start, plan, _ = host_write_plan(
         [st.frame_size_comp(i) for i in range(st.num_frames)],

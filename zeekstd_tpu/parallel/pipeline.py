@@ -70,7 +70,7 @@ def _frame_layout(n: int, frame_size: int, n_devices: int):
     return n_frames, padded_frames
 
 
-def parallel_parse_step(mesh, frame_size: int, seq_bound: int):
+def parallel_parse_step(mesh, frame_size: int, seq_bound: int, level: int = 3):
     """Jitted, mesh-sharded parse+stats step (dispatch 1 of the sharded
     compressor): ``step(frames, lengths)`` with frames uint8[F, frame_size]
     sharded on the frame axis. Outputs are the per-frame parse arrays and
@@ -80,11 +80,11 @@ def parallel_parse_step(mesh, frame_size: int, seq_bound: int):
 
     from ..tpu_archive import BLOCK_SIZE, _parse_stats_one_frame
 
-    key = ("parse", _mesh_key(mesh), frame_size, seq_bound)
+    key = ("parse", _mesh_key(mesh), frame_size, seq_bound, level)
     if key in _sh_fns:
         return _sh_fns[key]
     B = -(-frame_size // BLOCK_SIZE)
-    one_frame = _parse_stats_one_frame(frame_size, seq_bound, B)
+    one_frame = _parse_stats_one_frame(frame_size, seq_bound, B, level)
     axis = mesh.axis_names[0]
 
     def per_device(frames, lengths):
@@ -245,6 +245,7 @@ def parallel_compress(
     first_frame: int = 0,
     n_total: int | None = None,
     gather_bytes: bool = True,
+    level: int = 3,
 ):
     """Data-parallel seekable compression over the mesh. Returns
     (archive_frames_bytes, SeekTable) where the SeekTable is built from the
@@ -313,7 +314,7 @@ def parallel_compress(
     )
 
     # --- dispatch 1 (sharded): parse + stats ------------------------------
-    step = parallel_parse_step(mesh, frame_size, seq_bound)
+    step = parallel_parse_step(mesh, frame_size, seq_bound, level)
     out = step(frames_d, lengths_d)
     (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d,
      n_seq, n_lit, n_raw,
