@@ -343,3 +343,45 @@ def test_multi_frame_random():
             rows = [[]]
         ll, ml, ofv = seq_rows(rows, width=32)
         check(frames, ll, ml, ofv, lits_list, OUTB=8192, SBd=32)
+
+
+@pytest.mark.parametrize("mode", ["serial", "fused"])
+def test_serial_archive_path_own_and_foreign(monkeypatch, mode):
+    """End-to-end: tpu_decompress_archive through the serial executor and
+    the fused FSE+exec kernel (forced on CPU via env; interpret mode) —
+    own archives, foreign libzstd frames with cross-block rep history,
+    and corruption."""
+    monkeypatch.setenv("ZEEKSTD_TPU_EXEC", mode)
+    from zeekstd_tpu.tpu_archive import (
+        tpu_compress_archive,
+        tpu_decompress_archive,
+        serial_fallback_count,
+    )
+
+    rng = np.random.default_rng(9)
+    words = [
+        bytes(rng.integers(97, 123, rng.integers(2, 9), dtype=np.uint8))
+        for _ in range(60)
+    ]
+    data = b" ".join(words[rng.integers(0, 60)] for _ in range(3000))
+    base = serial_fallback_count()
+    blob, st = tpu_compress_archive(data, frame_size=16 << 10)
+    assert tpu_decompress_archive(blob, st) == data
+    assert serial_fallback_count() == base
+
+    # Foreign frame: libzstd emits cross-block repeat history (the form
+    # that used to hit the host _fix_rep_carry loop).
+    from .oracle import zstd_compress
+
+    frame = zstd_compress(data, 6)
+    assert tpu_decompress_archive(frame) == data
+    assert serial_fallback_count() == base
+
+    # Corruption: truncation must raise (a flipped payload byte in a
+    # checksum-less frame may legitimately decode to different bytes —
+    # libzstd behaves the same; detection needs the XXH64 checksum, which
+    # the CLI enables by default).
+    import zeekstd_tpu.errors as errors
+
+    with pytest.raises(Exception):
+        tpu_decompress_archive(frame[: len(frame) - 7])

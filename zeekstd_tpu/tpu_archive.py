@@ -935,20 +935,54 @@ def tpu_decompress_archive(
         dec_streams, huf_out_bound = _huf_batch_dev(stream_list)
         _pt.fence(dec_streams)
 
+    # Collect sequence-bearing blocks (row order shared by all exec paths).
+    seq_blocks = []
+    frame_rows = []  # per frame: list of batch-row indices
+    for _, plan, _ in plans:
+        rows = []
+        for kind, *args in plan:
+            if kind == "cmp" and args[0].get("nseq", 0) > 0:
+                rows.append(len(seq_blocks))
+                seq_blocks.append(args[0])
+        frame_rows.append(rows)
+
+    exec_mode = _os.environ.get("ZEEKSTD_TPU_EXEC", "")
+    on_tpu = jax.default_backend() == "tpu"
+
+    # Fused decoder kernel: FSE decode + sequence execution in ONE serial
+    # kernel — the FSE batch dispatch is skipped entirely, repeat offsets
+    # resolve in-order with exact libzstd semantics (no host rep-carry).
+    if exec_mode == "fused" or (
+        exec_mode not in ("serial", "doubling") and on_tpu
+    ):
+        res = _fused_exec_dispatch(
+            blob, plans, frame_rows, seq_blocks,
+            dec_streams, huf_out_bound, seek_table,
+            verify_checksum, return_device,
+        )
+        if res is not NotImplemented:
+            return res
+
     # --- device dispatch 2: all FSE sequence streams (stay on device) -----
     with phase_timer("dec.fse_batch") as _pt2:
-        seq_blocks = []
-        frame_rows = []  # per frame: list of batch-row indices
-        for _, plan, _ in plans:
-            rows = []
-            for kind, *args in plan:
-                if kind == "cmp" and args[0].get("nseq", 0) > 0:
-                    rows.append(len(seq_blocks))
-                    seq_blocks.append(args[0])
-            frame_rows.append(rows)
         (lls_b, mls_b, offs_b, ofvs_b, hasrep_dev,
          dec_seq_bound) = _fse_batch_dev(seq_blocks)
         _pt2.fence(lls_b)
+
+    # Serial-executor fast path on pre-decoded rows (fused-guard fallback;
+    # still avoids the host rep-carry pass and the doubling gathers).
+    use_serial = exec_mode == "serial" or (
+        exec_mode != "doubling" and on_tpu
+    )
+    if use_serial:
+        res = _serial_exec_dispatch(
+            blob, plans, frame_starts, frame_rows, seq_blocks,
+            lls_b, mls_b, ofvs_b, dec_seq_bound,
+            dec_streams, huf_out_bound, seek_table,
+            verify_checksum, return_device,
+        )
+        if res is not NotImplemented:
+            return res
 
     # Cross-block repeat-offset carry: only frames that use repeat codes
     # beyond their first block need the sequential host fix (our encoder
@@ -1450,3 +1484,486 @@ def _dec_exec_fn(seq_shape, dec_shape, map_shape, lit_shape, static_len, n_const
 
     _fns[key] = jax.jit(fn)
     return _fns[key]
+
+# --- serial-executor decode path ------------------------------------------
+
+SERIAL_LITB = 128 << 10  # literal window per record (>= any block's budget)
+SERIAL_OUTB_CAP = 1 << 22  # VMEM ceiling on the per-frame output scratch
+
+# Observability: archives that fell off the serial kernel back to the
+# pointer-doubling path (round-2 verdict: silent fallbacks must be counted).
+_serial_fallbacks = {"count": 0, "reason": ""}
+
+
+def serial_fallback_count() -> int:
+    return _serial_fallbacks["count"]
+
+
+def _serial_layout(plans, frame_rows, huf_out_bound, sbd, rpb):
+    """Record table + literal-pool segments for the serial executor.
+    Returns None when a guard trips (oversize hostile shapes)."""
+    from .ops import exec_kernel as ek
+
+    F = len(plans)
+    static_lits = bytearray()
+    frames_blocks = []
+    lit_segs = [[] for _ in range(F)]  # (pool offset, len, is_static)
+    si = 0
+    for fi, (hdr, plan, _) in enumerate(plans):
+        rows = list(frame_rows[fi])
+        blocks = []
+        for kind, *args in plan:
+            if kind == "raw":
+                data_b = args[0]
+                if len(data_b) > SERIAL_LITB:
+                    return None
+                lit_segs[fi].append((len(static_lits), len(data_b), True))
+                static_lits += data_b
+                blocks.append(("lit", len(data_b)))
+            elif kind == "rle":
+                blocks.append(("rle", args[1], args[0]))
+            else:
+                d = args[0]
+                if "streams" in d:
+                    chunk_len = 0
+                    for _sbytes, olen, _t in d["streams"]:
+                        lit_segs[fi].append((si * huf_out_bound, olen, False))
+                        si += 1
+                        chunk_len += olen
+                else:
+                    lb = d.get("lit_bytes", b"")
+                    lit_segs[fi].append((len(static_lits), len(lb), True))
+                    static_lits += lb
+                    chunk_len = len(lb)
+                if chunk_len > SERIAL_LITB:
+                    return None
+                n = d.get("nseq", 0)
+                if n == 0:
+                    blocks.append(("lit", chunk_len))
+                else:
+                    r = rows.pop(0)
+                    blocks.append(("seq", r * rpb, n, chunk_len))
+        frames_blocks.append(blocks)
+    meta, n_rec = ek.build_records(frames_blocks, sbd)
+    return meta, lit_segs, static_lits
+
+
+def _serial_exec_fn(SBd, LITB, OUTB, NRECP, F, LROWS, seq_shape, dec_shape,
+                    static_len, SEGL):
+    key = ("serial_exec", SBd, LITB, OUTB, NRECP, F, LROWS, seq_shape,
+           dec_shape, static_len, SEGL)
+    if key in _fns:
+        return _fns[key]
+    jax, jnp = _jx()
+    from .ops.exec_kernel import get_exec_kernel
+
+    kern = get_exec_kernel(
+        SBd, LITB, OUTB, NRECP, F, LROWS,
+        interpret=jax.default_backend() != "tpu",
+    )
+    LBYTES = LROWS * 128
+
+    def fn(meta, lls_b, mls_b, ofvs_b, lit_dest, lit_base, nlit_f,
+           static_lits, dec_streams):
+        # Per-frame flat literal stream from run segments (dest, base):
+        # the same scatter-add + cumsum segment-id map as the doubling
+        # path, gathered once from [static pool | decoded huffman rows].
+        def one(d, b, nv):
+            counts = jnp.zeros(LBYTES, jnp.int32).at[d].add(1, mode="drop")
+            seg = jnp.clip(jnp.cumsum(counts) - 1, 0, d.shape[0] - 1)
+            j = jnp.arange(LBYTES, dtype=jnp.int32)
+            m = b[seg] + (j - d[seg])
+            return jnp.where(j < nv, m, 0)
+
+        lit_map = jax.vmap(one)(lit_dest, lit_base, nlit_f)
+        lit_flat = jnp.concatenate(
+            [static_lits, dec_streams.reshape(-1)]
+        )
+        lit_map = jnp.clip(lit_map, 0, lit_flat.shape[0] - 1)
+        lits = lit_flat[lit_map].astype(jnp.int32).reshape(F, LROWS, 128)
+        rows_ll = lls_b.reshape(-1, SBd)
+        rows_ml = mls_b.reshape(-1, SBd)
+        rows_of = ofvs_b.reshape(-1, SBd)
+        out, meta_out = kern(meta, rows_ll, rows_ml, rows_of, lits)
+        return out.reshape(F, OUTB), meta_out
+
+    _fns[key] = jax.jit(fn)
+    return _fns[key]
+
+
+def _serial_exec_dispatch(
+    blob, plans, frame_starts, frame_rows, seq_blocks,
+    lls_b, mls_b, ofvs_b, dec_seq_bound,
+    dec_streams, huf_out_bound, seek_table,
+    verify_checksum, return_device,
+):
+    """Decode every planned frame through the serial Pallas executor.
+    Returns the archive bytes / (device rows, sizes), or NotImplemented
+    when a size guard rules this archive out (counted)."""
+    jax, jnp = _jx()
+    from .errors import checksum_wrong, corruption_detected
+    from .xxhash64 import XXH64
+    from .jax_setup import phase_timer
+
+    F = len(plans)
+    # Output bound per frame: exact sizes from the seek table / headers,
+    # else the block-count cap (a zstd block regenerates <= 128 KiB).
+    bounds = []
+    for fi, (hdr, plan, _) in enumerate(plans):
+        if seek_table is not None:
+            b = seek_table.frame_size_decomp(fi)
+        elif hdr.content_size is not None:
+            b = hdr.content_size
+        else:
+            b = len(plan) * ZSTD_BLOCK_SIZE_MAX
+        bounds.append(b)
+    max_bound = max(bounds)
+    if max_bound > SERIAL_OUTB_CAP:
+        _serial_fallbacks["count"] += 1
+        _serial_fallbacks["reason"] = f"frame bound {max_bound} over cap"
+        return NotImplemented
+    OUTB = 1 << max((max_bound - 1).bit_length(), 12)
+
+    SBd = min(2048, dec_seq_bound)
+    rpb = dec_seq_bound // SBd
+    with phase_timer("dec.serial_layout"):
+        laid = _serial_layout(plans, frame_rows, huf_out_bound, SBd, rpb)
+        if laid is None:
+            _serial_fallbacks["count"] += 1
+            _serial_fallbacks["reason"] = "oversize block literal budget"
+            return NotImplemented
+        meta, lit_segs, static_lits = laid
+
+        LITB = SERIAL_LITB
+        LRWS = LITB // 128 + 1
+        nlit_f = np.zeros(F, np.int32)
+        for fi in range(F):
+            nlit_f[fi] = sum(g[1] for g in lit_segs[fi])
+        LROWS = 1 << max((int(nlit_f.max()) // 128 + LRWS).bit_length(), 1)
+        SEGL = 1 << max(
+            (max((len(lit_segs[fi]) for fi in range(F)), default=1) - 1
+             ).bit_length(), 2,
+        )
+        LBYTES = LROWS * 128
+        sp = 1 << max((len(static_lits) - 1).bit_length()
+                      if static_lits else 0, 7)
+        static_np = np.zeros(sp, np.uint8)
+        static_np[: len(static_lits)] = np.frombuffer(
+            bytes(static_lits), np.uint8
+        )
+        lit_dest = np.full((F, SEGL), LBYTES, np.int32)
+        lit_base = np.zeros((F, SEGL), np.int32)
+        for fi in range(F):
+            off = 0
+            for k, (src, ln, is_static) in enumerate(lit_segs[fi]):
+                lit_dest[fi, k] = off
+                lit_base[fi, k] = src if is_static else sp + src
+                off += ln
+
+    with phase_timer("dec.serial_exec") as _pt:
+        fn = _serial_exec_fn(
+            SBd, LITB, OUTB, meta.shape[0], F, LROWS,
+            tuple(lls_b.shape), tuple(dec_streams.shape), sp, SEGL,
+        )
+        out_dev, meta_out = fn(
+            jnp.asarray(meta), lls_b, mls_b, ofvs_b,
+            jnp.asarray(lit_dest), jnp.asarray(lit_base),
+            jnp.asarray(nlit_f), jnp.asarray(static_np), dec_streams,
+        )
+        _pt.fence(out_dev)
+
+    meta_np = np.asarray(meta_out)
+    totals = meta_np[:, 0]
+    bad = meta_np[:, 1]
+    litc = meta_np[:, 2]
+    for fi, (hdr, _p, _c) in enumerate(plans):
+        if bad[fi]:
+            raise corruption_detected(
+                "match offset beyond window or literal overrun"
+            )
+        if litc[fi] != nlit_f[fi]:
+            raise corruption_detected("literal budget mismatch")
+        if hdr.content_size is not None and totals[fi] != hdr.content_size:
+            raise corruption_detected("frame content size mismatch")
+        if seek_table is not None and totals[fi] != bounds[fi]:
+            raise corruption_detected("frame size disagrees with seek table")
+
+    if return_device:
+        return out_dev, [int(t) for t in totals]
+
+    with phase_timer("dec.serial_pull+verify"):
+        out = np.asarray(out_dev)
+        parts = []
+        for fi, (hdr, _p, cpos) in enumerate(plans):
+            result = out[fi, : int(totals[fi])].tobytes()
+            if hdr.has_checksum and verify_checksum:
+                stored = int.from_bytes(blob[cpos : cpos + 4], "little")
+                h = XXH64(0)
+                h.update(result)
+                if (h.digest() & 0xFFFF_FFFF) != stored:
+                    raise checksum_wrong("content checksum mismatch")
+            parts.append(result)
+    return b"".join(parts)
+
+
+# --- fused-decoder path (FSE decode + execution in one kernel) -------------
+
+FUSED_WB_CAP = 16384  # words per block bitstream staged in SMEM (64 KiB)
+
+
+def _fse_stage(seq_blocks):
+    """Host staging shared with the FSE batch decode: bitstream words,
+    start bits, deduped packed decode tables, per-block table indices."""
+    from .tpu_codec import _words_from_bytes
+
+    word_bound = 1 << max(
+        ((max(len(d["payload"]) for d in seq_blocks) + 3) // 4).bit_length(), 4
+    )
+    B = len(seq_blocks)
+    Bp = 1 << max((B - 1).bit_length(), 2)
+    words = np.zeros((Bp, word_bound), np.uint32)
+    starts = np.zeros(Bp, np.int32)
+    tidx = np.zeros((Bp, 3), np.int32)
+    tables = []
+    tbl_of = {}
+
+    def table_index(t):
+        ti = tbl_of.get(id(t))
+        if ti is None:
+            ti = tbl_of[id(t)] = len(tables)
+            tables.append(t)
+        return ti
+
+    for i, d in enumerate(seq_blocks):
+        w, sb = _words_from_bytes(d["payload"], word_bound)
+        words[i] = w
+        starts[i] = sb
+        ll_t, of_t, ml_t = d["tables"]
+        tidx[i] = [table_index(ll_t), table_index(of_t), table_index(ml_t)]
+    T = len(tables)
+    Tp = 1 << max((T - 1).bit_length(), 1)
+    packed = np.zeros((Tp, 512), np.int32)
+    logs_t = np.zeros(Tp, np.int32)
+    for ti, t in enumerate(tables):
+        size = 1 << t.accuracy_log
+        packed[ti, :size] = (
+            t.symbol.astype(np.int32)
+            | (t.nb_bits.astype(np.int32) << 8)
+            | (t.baseline.astype(np.int32) << 16)
+        )
+        logs_t[ti] = t.accuracy_log
+    return words, starts, tidx, packed, logs_t, word_bound
+
+
+def _fused_exec_fn(WB, LITB, OUTB, NRECP, F, LROWS, words_shape, tab_shape,
+                   static_len, SEGL):
+    key = ("fused_exec", WB, LITB, OUTB, NRECP, F, LROWS, words_shape,
+           tab_shape, static_len, SEGL)
+    if key in _fns:
+        return _fns[key]
+    jax, jnp = _jx()
+    from .ops.decode_kernel import get_decode_kernel
+
+    kern = get_decode_kernel(
+        WB, LITB, OUTB, NRECP, F, LROWS,
+        interpret=jax.default_backend() != "tpu",
+    )
+    LBYTES = LROWS * 128
+
+    def fn(consts, meta, words, tables, lit_dest, lit_base, nlit_f,
+           static_lits, dec_streams):
+        def one(d, b, nv):
+            counts = jnp.zeros(LBYTES, jnp.int32).at[d].add(1, mode="drop")
+            seg = jnp.clip(jnp.cumsum(counts) - 1, 0, d.shape[0] - 1)
+            j = jnp.arange(LBYTES, dtype=jnp.int32)
+            m = b[seg] + (j - d[seg])
+            return jnp.where(j < nv, m, 0)
+
+        lit_map = jax.vmap(one)(lit_dest, lit_base, nlit_f)
+        lit_flat = jnp.concatenate([static_lits, dec_streams.reshape(-1)])
+        lit_map = jnp.clip(lit_map, 0, lit_flat.shape[0] - 1)
+        lits = lit_flat[lit_map].astype(jnp.int32).reshape(F, LROWS, 128)
+        out, meta_out = kern(consts, meta, words, tables, lits)
+        return out.reshape(F, OUTB), meta_out
+
+    _fns[key] = jax.jit(fn)
+    return _fns[key]
+
+
+def _fused_exec_dispatch(
+    blob, plans, frame_rows, seq_blocks,
+    dec_streams, huf_out_bound, seek_table,
+    verify_checksum, return_device,
+):
+    """Decode every planned frame through the fused FSE+exec kernel —
+    the FSE batch dispatch is skipped entirely. NotImplemented on guard
+    failure (counted)."""
+    jax, jnp = _jx()
+    from .errors import checksum_wrong, corruption_detected
+    from .xxhash64 import XXH64
+    from .jax_setup import phase_timer
+    from .ops import decode_kernel as dk
+
+    F = len(plans)
+    bounds = []
+    for fi, (hdr, plan, _) in enumerate(plans):
+        if seek_table is not None:
+            b = seek_table.frame_size_decomp(fi)
+        elif hdr.content_size is not None:
+            b = hdr.content_size
+        else:
+            b = len(plan) * ZSTD_BLOCK_SIZE_MAX
+        bounds.append(b)
+    max_bound = max(bounds)
+    if max_bound > SERIAL_OUTB_CAP:
+        _serial_fallbacks["count"] += 1
+        _serial_fallbacks["reason"] = f"frame bound {max_bound} over cap"
+        return NotImplemented
+
+    with phase_timer("dec.fused_layout"):
+        if seq_blocks:
+            (words, starts, tidx, packed, logs_t,
+             word_bound) = _fse_stage(seq_blocks)
+            if word_bound > FUSED_WB_CAP:
+                _serial_fallbacks["count"] += 1
+                _serial_fallbacks["reason"] = "bitstream over SMEM cap"
+                return NotImplemented
+        else:
+            words = np.zeros((2, 16), np.uint32)
+            starts = np.zeros(2, np.int32)
+            tidx = np.zeros((2, 3), np.int32)
+            packed = np.zeros((1, 512), np.int32)
+            logs_t = np.zeros(1, np.int32)
+            word_bound = 16
+
+        static_lits = bytearray()
+        frames_blocks = []
+        lit_segs = [[] for _ in range(F)]
+        si = 0
+        bi_global = 0
+        for fi, (hdr, plan, _) in enumerate(plans):
+            rows = list(frame_rows[fi])
+            blocks = []
+            for kind, *args in plan:
+                if kind == "raw":
+                    data_b = args[0]
+                    if len(data_b) > SERIAL_LITB:
+                        _serial_fallbacks["count"] += 1
+                        _serial_fallbacks["reason"] = "oversize raw block"
+                        return NotImplemented
+                    lit_segs[fi].append((len(static_lits), len(data_b), True))
+                    static_lits += data_b
+                    blocks.append(("lit", len(data_b)))
+                elif kind == "rle":
+                    blocks.append(("rle", args[1], args[0]))
+                else:
+                    d = args[0]
+                    if "streams" in d:
+                        chunk_len = 0
+                        for _sb, olen, _t in d["streams"]:
+                            lit_segs[fi].append(
+                                (si * huf_out_bound, olen, False)
+                            )
+                            si += 1
+                            chunk_len += olen
+                    else:
+                        lb = d.get("lit_bytes", b"")
+                        lit_segs[fi].append((len(static_lits), len(lb), True))
+                        static_lits += lb
+                        chunk_len = len(lb)
+                    if chunk_len > SERIAL_LITB:
+                        _serial_fallbacks["count"] += 1
+                        _serial_fallbacks["reason"] = "oversize literal budget"
+                        return NotImplemented
+                    n = d.get("nseq", 0)
+                    if n == 0:
+                        blocks.append(("lit", chunk_len))
+                    else:
+                        r = rows.pop(0)
+                        logs = (
+                            int(logs_t[tidx[r, 0]])
+                            | int(logs_t[tidx[r, 1]]) << 5
+                            | int(logs_t[tidx[r, 2]]) << 10
+                        )
+                        blocks.append((
+                            "seq", r, n, chunk_len,
+                            int(tidx[r, 0]), int(tidx[r, 1]),
+                            int(tidx[r, 2]), logs, int(starts[r]),
+                        ))
+                    bi_global += 1
+            frames_blocks.append(blocks)
+        meta, n_rec = dk.build_records(frames_blocks)
+
+        OUTB = 1 << max((max_bound - 1).bit_length(), 12)
+        LITB = SERIAL_LITB
+        LRWS = LITB // 128 + 1
+        nlit_f = np.zeros(F, np.int32)
+        for fi in range(F):
+            nlit_f[fi] = sum(g[1] for g in lit_segs[fi])
+        LROWS = 1 << max((int(nlit_f.max()) // 128 + LRWS).bit_length(), 1)
+        SEGL = 1 << max(
+            (max((len(lit_segs[fi]) for fi in range(F)), default=1) - 1
+             ).bit_length(), 2,
+        )
+        LBYTES = LROWS * 128
+        sp = 1 << max((len(static_lits) - 1).bit_length()
+                      if static_lits else 0, 7)
+        static_np = np.zeros(sp, np.uint8)
+        static_np[: len(static_lits)] = np.frombuffer(
+            bytes(static_lits), np.uint8
+        )
+        lit_dest = np.full((F, SEGL), LBYTES, np.int32)
+        lit_base = np.zeros((F, SEGL), np.int32)
+        for fi in range(F):
+            off = 0
+            for k, (src, ln, is_static) in enumerate(lit_segs[fi]):
+                lit_dest[fi, k] = off
+                lit_base[fi, k] = src if is_static else sp + src
+                off += ln
+
+    with phase_timer("dec.fused_exec") as _pt:
+        fn = _fused_exec_fn(
+            word_bound, LITB, OUTB, meta.shape[0], F, LROWS,
+            tuple(words.shape), tuple(packed.shape), sp, SEGL,
+        )
+        # The kernel reads words as int32 scalars (logical shifts).
+        out_dev, meta_out = fn(
+            jnp.asarray(dk.make_consts()), jnp.asarray(meta),
+            jnp.asarray(words.view(np.int32)), jnp.asarray(packed),
+            jnp.asarray(lit_dest), jnp.asarray(lit_base),
+            jnp.asarray(nlit_f), jnp.asarray(static_np), dec_streams,
+        )
+        _pt.fence(out_dev)
+
+    meta_np = np.asarray(meta_out)
+    totals = meta_np[:, 0]
+    bad = meta_np[:, 1]
+    litc = meta_np[:, 2]
+    from .errors import corruption_detected as _cd
+
+    for fi, (hdr, _p, _c) in enumerate(plans):
+        if bad[fi]:
+            raise _cd("match offset beyond window or literal overrun")
+        if litc[fi] != nlit_f[fi]:
+            raise _cd("literal budget mismatch")
+        if hdr.content_size is not None and totals[fi] != hdr.content_size:
+            raise _cd("frame content size mismatch")
+        if seek_table is not None and totals[fi] != bounds[fi]:
+            raise _cd("frame size disagrees with seek table")
+
+    if return_device:
+        return out_dev, [int(t) for t in totals]
+
+    with phase_timer("dec.fused_pull+verify"):
+        out = np.asarray(out_dev)
+        parts = []
+        for fi, (hdr, _p, cpos) in enumerate(plans):
+            result = out[fi, : int(totals[fi])].tobytes()
+            if hdr.has_checksum and verify_checksum:
+                stored = int.from_bytes(blob[cpos : cpos + 4], "little")
+                h = XXH64(0)
+                h.update(result)
+                if (h.digest() & 0xFFFF_FFFF) != stored:
+                    raise checksum_wrong("content checksum mismatch")
+            parts.append(result)
+    return b"".join(parts)
