@@ -385,3 +385,34 @@ def test_serial_archive_path_own_and_foreign(monkeypatch, mode):
 
     with pytest.raises(Exception):
         tpu_decompress_archive(frame[: len(frame) - 7])
+
+
+def test_match_kernel_encode_roundtrip(monkeypatch):
+    """Opt-in serial match-kernel parse (interpret on CPU): the encoded
+    archive round-trips and libzstd decodes it; ratio stays within 5% of
+    the XLA parse (the slice-clamp RAW demotion regression guard)."""
+    monkeypatch.setenv("ZEEKSTD_TPU_EXEC", "fused")
+    from zeekstd_tpu.tpu_archive import tpu_compress_archive, tpu_decompress_archive
+    from .oracle import zstd_decompress
+
+    rng = np.random.default_rng(5)
+    words = [
+        bytes(rng.integers(97, 123, rng.integers(2, 9), dtype=np.uint8))
+        for _ in range(200)
+    ]
+    data = b" ".join(words[rng.integers(0, 200)] for _ in range(9000))[:65536 + 9999]
+
+    monkeypatch.setenv("ZEEKSTD_TPU_MATCH", "xla")
+    blob_x, _ = tpu_compress_archive(data, frame_size=64 << 10, level=1)
+    monkeypatch.setenv("ZEEKSTD_TPU_MATCH", "kernel")
+    blob_k, st = tpu_compress_archive(data, frame_size=64 << 10, level=1)
+    assert tpu_decompress_archive(blob_k, st) == data
+    parts = [
+        zstd_decompress(
+            blob_k[st.frame_start_comp(i) : st.frame_end_comp(i)],
+            st.frame_size_decomp(i),
+        )
+        for i in range(st.num_frames)
+    ]
+    assert b"".join(parts) == data
+    assert len(blob_k) <= len(blob_x) * 1.05, (len(blob_k), len(blob_x))

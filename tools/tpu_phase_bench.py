@@ -1,6 +1,6 @@
 """On-device TPU pipeline measurement with pull-fenced timing.
 
-Usage: ZEEKSTD_TPU_TIMING=1 python tools/tpu_phase_bench.py [size_mb] [frame_mb]
+Usage: ZEEKSTD_TPU_TIMING=1 python tools/tpu_phase_bench.py [size_mb] [frame_mb] [level=1]
 
 Timing discipline (this box's axon tunnel): block_until_ready can return
 early, so every measurement is fenced by pulling a scalar reduction of the
@@ -27,6 +27,7 @@ def fence(arr):
 def main():
     size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     frame_mb = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    level = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
     from bench import build_corpus
     from zeekstd_tpu.tpu_archive import tpu_compress_archive, tpu_decompress_archive
@@ -36,14 +37,14 @@ def main():
     fs = frame_mb << 20
 
     t0 = time.time()
-    rows, c_sizes, st = tpu_compress_archive(corpus, frame_size=fs, return_device=True)
+    rows, c_sizes, st = tpu_compress_archive(corpus, frame_size=fs, level=level, return_device=True)
     fence(rows)
     print(f"encode warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     best = 1e9
     for _ in range(3):
         t0 = time.time()
-        rows, c_sizes, st = tpu_compress_archive(corpus, frame_size=fs, return_device=True)
+        rows, c_sizes, st = tpu_compress_archive(corpus, frame_size=fs, level=level, return_device=True)
         fence(rows)
         best = min(best, time.time() - t0)
     enc = n / best / (1 << 20)
