@@ -81,20 +81,65 @@ def log(msg):
 
 
 def bench_samehost_libzstd(corpus: bytes):
-    """Same-host libzstd level-1 speed: normalizes vs_baseline for hardware
-    (the published baseline machine runs libzstd ~2.4x faster than this VM)."""
+    """Same-host libzstd level-1 encode AND decode speed (single-threaded):
+    normalizes vs_baseline for hardware — the published baseline machine
+    runs libzstd ~2.4x faster than this shared-vCPU VM, so per-core parity
+    is judged against the same-host libzstd number, not the absolute."""
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-        from oracle import zstd_compress
+        from oracle import zstd_compress, zstd_decompress
 
         best = 0.0
         for _ in range(2):
             t0 = time.time()
             blob = zstd_compress(corpus, level=1)
             best = max(best, len(corpus) / (time.time() - t0) / (1 << 20))
-        return best, len(blob) / len(corpus)
+        best_dec = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            out = zstd_decompress(blob, len(corpus))
+            best_dec = max(best_dec, len(corpus) / (time.time() - t0) / (1 << 20))
+        assert out == corpus
+        return best, len(blob) / len(corpus), best_dec
     except Exception:
         return None
+
+
+def bench_native_st(corpus: bytes, frame_size: int):
+    """(enc MiB/s, dec MiB/s) single-threaded — the reference's own
+    measurement condition (BASELINE.md: one core)."""
+    from zeekstd_tpu.native import loader
+    from zeekstd_tpu.seek_table import SeekTable
+
+    if not loader.available():
+        return None
+    n = len(corpus)
+    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=1)
+    st = SeekTable.from_frames(
+        (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
+    )
+    budget = float(os.environ.get("BENCH_NATIVE_BUDGET_S", "25")) / 2
+    best_enc = 0.0
+    t_start = time.time()
+    reps = 0
+    while reps < 4 or (time.time() - t_start < budget and reps < 20):
+        t0 = time.time()
+        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=1)
+        best_enc = max(best_enc, n / (time.time() - t0) / (1 << 20))
+        reps += 1
+    c_off = list(map(int, st.cumulative_offsets()[0]))
+    d_off = list(map(int, st.cumulative_offsets()[1]))
+    sink = bytearray(n)
+    best_dec = 0.0
+    t_start = time.time()
+    reps = 0
+    while reps < 4 or (time.time() - t_start < budget and reps < 20):
+        t0 = time.time()
+        r = loader.decompress_stream_mt(blob, c_off, d_off, nthreads=1, into=sink)
+        best_dec = max(best_dec, n / (time.time() - t0) / (1 << 20))
+        reps += 1
+    assert r == n and bytes(sink) == corpus, "ST decode mismatch"
+    return best_enc, best_dec
 
 
 def bench_native(corpus: bytes, frame_size: int):
@@ -157,6 +202,7 @@ def _tpu_unavailable_note():
         "would hang) — last on-chip measurements in docs/PERF.md: "
         "10MiB archive ~4.3s encode / ~3.9s decode on-device warm, "
         "warmup 25s+10s from the persistent compile cache",
+        None,
     )
 
 
@@ -252,18 +298,21 @@ def bench_tpu(corpus: bytes, frame_size: int):
             f"warmup {warm_enc:.0f}s+{warm_dec:.0f}s"
         )
         log(
-            "tpu accounting (fenced per-stage, ZEEKSTD_TPU_TIMING=2): encode "
-            "= ~45% match parse (gather-bound: hash-bucket strip gathers + "
-            "Mosaic chunk reachability; random gathers cost ~5-10ms per 1M "
-            "elements on this chip), ~20% host entropy-table decisions, ~20% "
-            "FSE bitstreams, ~10% device assembly. decode = ~55% sequence "
-            "execution (each doubling pass is a full-size gather; shallow "
-            "5-pass program with depth escalation), ~17% FSE decode, ~13% "
-            "host frame planning, ~8% bit-reachability Huffman decode. e2e "
-            "adds the ~5 MB/s device->host tunnel pull, an environment "
-            "artifact."
+            "tpu accounting (fenced per-stage, ZEEKSTD_TPU_TIMING=2): decode "
+            "now runs the fused serial Pallas kernel (FSE decode + repeat "
+            "resolution + sequence execution in one grid; no pointer-"
+            "doubling gathers, no host rep-carry): per 10 MiB warm = ~0.10s "
+            "host frame planning, ~0.05s Huffman, ~0.37s fused kernel. "
+            "encode = ~55% XLA match parse (serial match kernel is opt-in "
+            "via ZEEKSTD_TPU_MATCH=kernel at 2.3x parse speed, ratio parity "
+            "pending), ~22% FSE bitstreams, ~10% host table decisions, ~8% "
+            "device assembly. e2e adds the ~5 MB/s device->host tunnel "
+            "pull, an environment artifact."
         )
-        return enc_dev, dec_dev, len(blob) / n, detail
+        return enc_dev, dec_dev, len(blob) / n, detail, (
+            round(enc_e2e, 2), round(dec_e2e, 2),
+            round(warm_enc, 1), round(warm_dec, 1),
+        )
     except Exception as e:
         log(f"tpu bench unavailable: {e!r}")
         return None
@@ -309,8 +358,17 @@ def main() -> int:
     frame_size_nat = 512 << 10
     ref = bench_samehost_libzstd(corpus)
     if ref:
-        log(f"same-host libzstd L1: {ref[0]:.1f} MiB/s ratio {ref[1]*100:.1f}%")
+        log(
+            f"same-host libzstd L1: enc {ref[0]:.1f} dec {ref[2]:.1f} MiB/s "
+            f"ratio {ref[1]*100:.1f}%"
+        )
     native = bench_native(corpus, frame_size_nat)
+    native_st = bench_native_st(corpus, frame_size_nat)
+    if native_st:
+        log(
+            f"native ST: enc {native_st[0]:.1f} MiB/s dec {native_st[1]:.1f} "
+            f"MiB/s (reference single-core: 376 enc / 1434 dec)"
+        )
     if native:
         log(
             f"native: enc {native[0]:.1f} MiB/s dec {native[1]:.1f} MiB/s "
@@ -405,11 +463,29 @@ def main() -> int:
     _result.update(
         metric=(
             f"seekable archive encode MiB/s, {n >> 20}MiB dickens-like text, "
-            f"{frame_size_nat >> 10}KiB native / {frame_size >> 20}MiB tpu "
-            f"frames, ratio {ratio*100:.1f}% ({'; '.join(detail)})"
+            f"level 1, {frame_size_nat >> 10}KiB native / {frame_size >> 20}MiB "
+            f"tpu frames, ratio {ratio*100:.1f}% ({'; '.join(detail)})"
         ),
         value=round(best_enc, 2),
         vs_baseline=round(best_enc / BASELINE_ENCODE_MIBS, 4),
+        # Machine-readable per-surface numbers (MiB/s). ST = one thread,
+        # the reference's own condition; MT = one thread per vCPU;
+        # tpu_ondevice = inputs staged / outputs resident, fenced.
+        ratio=round(ratio, 4),
+        native_enc_mt=native and round(native[0], 1),
+        native_dec_mt=native and round(native[1], 1),
+        native_enc_st=native_st and round(native_st[0], 1),
+        native_dec_st=native_st and round(native_st[1], 1),
+        vs_baseline_dec_st=native_st
+        and round(native_st[1] / BASELINE_DECODE_MIBS, 4),
+        tpu_ondevice_enc=tpu and tpu[0] and round(tpu[0], 2),
+        tpu_ondevice_dec=tpu and tpu[1] and round(tpu[1], 2),
+        tpu_e2e_enc=tpu and tpu[4] and tpu[4][0],
+        tpu_e2e_dec=tpu and tpu[4] and tpu[4][1],
+        tpu_warmup_enc_s=tpu and tpu[4] and tpu[4][2],
+        tpu_warmup_dec_s=tpu and tpu[4] and tpu[4][3],
+        libzstd_samehost_enc=ref and round(ref[0], 1),
+        libzstd_samehost_dec=ref and round(ref[2], 1),
     )
     _emit()
     return 0
