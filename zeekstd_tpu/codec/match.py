@@ -280,11 +280,15 @@ def find_sequences(window: bytes, start: int, end: int, params: MatchParams, sta
         if limit < MIN_MATCH:
             return 0, 0
         best_len, best_off = 0, 0
-        # Repeat-offset probe first (cheap and common).
+        best_score = -1000
+        # Repeat-offset probe first: scored with no offset cost (mirrors
+        # the native matcher) so profitable repeat chains survive slightly
+        # longer far candidates on structured data.
         r1 = cur_reps[0]
         if p - r1 >= 0 and data[p : p + 4] == data[p - r1 : p - r1 + 4]:
             l = match_len_at(p, p - r1, limit)
             best_len, best_off = l, r1
+            best_score = 4 * l + 2
         h = _hash_n(data, p, hb)
         cand = head[h]
         tries = depth
@@ -298,17 +302,18 @@ def find_sequences(window: bytes, start: int, end: int, params: MatchParams, sta
                 break
             if data[p : p + 4] == data[c : c + 4]:
                 l = match_len_at(p, c, limit)
-                # Prefer longer; on ties prefer smaller offset.
-                if l > best_len:
-                    best_len, best_off = l, p - c
+                sc = 4 * l - (p - c).bit_length()
+                if sc > best_score:
+                    best_len, best_off, best_score = l, p - c, sc
             cand = chain[c]
             tries -= 1
         if probe4:
             c4 = int(chain4[p])  # previous same-4-byte-hash position
             if 0 <= c4 < p and p - c4 <= max_dist and data[p : p + 4] == data[c4 : c4 + 4]:
                 l = match_len_at(p, c4, limit)
-                if l > best_len:
-                    best_len, best_off = l, p - c4
+                sc = 4 * l - (p - c4).bit_length()
+                if sc > best_score:
+                    best_len, best_off, best_score = l, p - c4, sc
         if ldm is not None and best_len < 64 and limit >= LDM_MIN:
             hl = _ldm_hash_one(data, p)
             for c in (int(ldm.first[hl]), int(ldm.last[hl])):
@@ -316,6 +321,7 @@ def find_sequences(window: bytes, start: int, end: int, params: MatchParams, sta
                     l = match_len_at(p, c, limit)
                     if l >= LDM_MIN and l > best_len:
                         best_len, best_off = l, p - c
+                        best_score = 4 * l - (p - c).bit_length()
         if best_len < MIN_MATCH:
             return 0, 0
         # Cost gate: a short far match can cost more than its literals
@@ -335,12 +341,19 @@ def find_sequences(window: bytes, start: int, end: int, params: MatchParams, sta
             pos += 1
             continue
 
-        # Lazy evaluation: peek ahead, prefer a strictly better later match.
+        # Lazy evaluation: the later match wins only on a cost-aware gain
+        # comparison (rep matches keep the no-offset-cost bonus) — a pure
+        # longer-wins rule breaks repeat-offset chains on digit-periodic
+        # data (the seq-20000 regression).
         steps = lazy
         while steps > 0 and pos + 1 < insert_limit:
             insert(pos + 1)
             nlen, noff = best_match(pos + 1)
-            if nlen >= mlen + 1:
+            sc1 = (4 * mlen + 2 if moff == cur_reps[0]
+                   else 4 * mlen - moff.bit_length())
+            sc2 = (4 * nlen + 2 if noff == cur_reps[0]
+                   else 4 * nlen - noff.bit_length())
+            if nlen >= 4 and sc2 > sc1 + 1:
                 pos += 1
                 mlen, moff = nlen, noff
                 steps -= 1

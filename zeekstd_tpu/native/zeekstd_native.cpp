@@ -917,6 +917,12 @@ static inline u32 match_len(const u8* a, const u8* b, const u8* limit) {
   return (u32)(a - start);
 }
 
+// Offset-cost-aware candidate score; repeat-offset matches are scored by
+// the callers as 4*len + 2 (no offset cost).
+static inline int cand_score(u32 len, u32 off) {
+  return 4 * (int)len - highbit(off | 1);
+}
+
 // Best (length, offset) candidate at ip given both hash tables + rep probe.
 // ``depth`` > 0 additionally walks the per-position hash chain (levels 13+).
 static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
@@ -940,7 +946,7 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
   if (cand >= 0 && read32(base + cand) == read32(ip)) {
     u32 l = match_len(ip, base + cand, mlimit);
     u32 o = (u32)(cur - cand);
-    int sc = 4 * (int)l - highbit(o | 1);
+    int sc = cand_score(l, o);
     if (sc > best_score) { best_len = l; best_off = o; best_score = sc; }
   }
   if (M.probe4) {
@@ -950,7 +956,7 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
     if (c4 >= 0 && c4 != cand && read32(base + c4) == read32(ip)) {
       u32 l = match_len(ip, base + c4, mlimit);
       u32 o = (u32)(cur - (size_t)c4);
-      int sc = 4 * (int)l - highbit(o | 1);
+      int sc = cand_score(l, o);
       if (sc > best_score) { best_len = l; best_off = o; best_score = sc; }
     }
   }
@@ -960,7 +966,7 @@ static inline u32 probe_best(const u8* base, const u8* ip, const u8* mlimit,
       if (read32(base + c) == read32(ip)) {
         u32 l = match_len(ip, base + c, mlimit);
         u32 o = (u32)(cur - (size_t)c);
-        int sc = 4 * (int)l - highbit(o | 1);
+        int sc = cand_score(l, o);
         if (sc > best_score) { best_len = l; best_off = o; best_score = sc; }
       }
       c = M.chain[c];
@@ -1087,11 +1093,21 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
       ip += 1 + ((size_t)(ip - anchor) >> 8);
       continue;
     }
-    // Lazy evaluation: a strictly better match one byte later wins.
+    // Lazy evaluation: the match one byte later wins only on a cost-aware
+    // gain comparison (rep matches keep their no-offset-cost bonus, and
+    // the deferred byte costs a literal). A pure longer-wins rule here
+    // breaks profitable repeat-offset chains on digit-periodic data: a
+    // 6-byte far match would displace a 5-byte rep match every few
+    // sequences, scattering the offset histogram (zstd's lazy_generic
+    // makes the same gain comparison).
     for (int step = 0; step < lazy && ip + 1 < search_end && best_len < 128; step++) {
       u32 off2;
       u32 len2 = probe_best(base, ip + 1, mlimit, M, reps[0], &off2, depth);
-      if (len2 >= best_len + 1 &&
+      int sc1 = best_off == reps[0] ? 4 * (int)best_len + 2
+                                    : cand_score(best_len, best_off);
+      int sc2 = off2 == reps[0] ? 4 * (int)len2 + 2
+                                : cand_score(len2, off2);
+      if (len2 >= 4 && sc2 > sc1 + 1 &&
           !(off2 != reps[0] && 6 * (int)len2 < 14 + highbit(off2) + 1)) {
         ip++;
         best_len = len2;
@@ -1410,7 +1426,7 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
   // it on for their per-block lazy fallback race (L1 stays single-probe
   // for speed).
   if (level >= 2) M.probe4 = true;
-  int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : (level >= 10 ? 8 : (level >= 7 ? 4 : 0))));
+  int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : (level >= 9 ? 8 : (level >= 7 ? 4 : 0))));
   if (depth) M.enable_chain(prefix_n + n);
   if (level >= 15) M.enable_bt(prefix_n + n, false);
   if (g_ldm && level < 15) M.enable_ldm();
@@ -1642,6 +1658,9 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
   DecCtx ctx;
   u32 reps[3] = {1, 4, 8};
   std::vector<u8> lits;
+#ifdef ZN_PROF
+  unsigned long long _ft0 = __rdtsc();
+#endif
   for (;;) {
     if (pos + 3 > n) return -1;
     u32 bh = src[pos] | (src[pos + 1] << 8) | ((u32)src[pos + 2] << 16);
@@ -2059,6 +2078,9 @@ extern "C" i64 zn_decompress_frame(const u8* src, size_t n, u8* dst,
     }
     if (last) break;
   }
+#ifdef ZN_PROF
+  zn_prof_hdr += __rdtsc() - _ft0;
+#endif
   const u8* out_start = in_place ? dst : win.data() + prefix_n;
   size_t out_n = (size_t)(wp - out_start);
   if (has_checksum) {
