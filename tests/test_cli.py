@@ -222,6 +222,20 @@ def test_cli_backend_tpu_roundtrip(tmp_path):
     assert run_cli(["decompress", str(out), "-o", str(rt), "-f",
                     "--backend", "tpu"]) == 0
     assert rt.read_bytes() == src.read_bytes()
-    # patch mode must be rejected clearly
-    assert run_cli(["compress", str(src), "-o", str(out), "-f",
-                    "--backend", "tpu", "--patch-from", str(src)]) != 0
+    # patch mode on the tpu backend: create a patch against a prefix and
+    # apply it back (reference: lib/src/encode.rs:332-338, decode.rs:212-214)
+    newer = tmp_path / "new.bin"
+    base = src.read_bytes()
+    newer.write_bytes(base[:90_000] + b"INSERTED-PATCH-CHUNK" + base[90_000:])
+    patch = tmp_path / "new.patch.zst"
+    applied = tmp_path / "applied.bin"
+    assert run_cli(["compress", str(newer), "-o", str(patch), "-f",
+                    "--backend", "tpu", "-s", "64K",
+                    "--patch-from", str(src)]) == 0
+    assert run_cli(["decompress", str(patch), "-o", str(applied), "-f",
+                    "--backend", "tpu", "--patch-apply", str(src)]) == 0
+    assert applied.read_bytes() == newer.read_bytes()
+    # the patch must be much smaller than a plain compress of the file
+    assert run_cli(["compress", str(newer), "-o", str(out), "-f",
+                    "--backend", "tpu", "-s", "64K"]) == 0
+    assert patch.stat().st_size < out.stat().st_size / 2

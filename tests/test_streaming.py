@@ -438,3 +438,58 @@ def test_compress_into_byte_granular_contract():
                 (st_oneshot.frame_size_comp(i), st_oneshot.frame_size_decomp(i))
                 for i in range(st_oneshot.num_frames)
             ]
+
+
+def test_binary_patch_cycle_tpu_backend():
+    """Patch mode on the tpu backend, both directions (verdict round-2
+    item 7): the device parse searches prefix‖frame with sequence starts
+    confined to the frame (reference: lib/src/encode.rs:332-338), and the
+    device decode stages the prefix as a leading pseudo literal run
+    (reference: lib/src/decode.rs:212-214). Oracle-verified."""
+    from .oracle import zstd_decompress
+
+    import numpy as _np
+
+    # Incompressible base: any size win can only come from prefix matches.
+    old = _np.random.default_rng(17).integers(0, 256, 200_000, dtype=_np.uint8).tobytes()
+    new = old[:60_000] + b"#patch-insert#" + old[60_000:190_000] + b"!tail"
+    enc = Encoder(
+        EncodeOptions()
+        .with_backend("tpu")
+        .with_frame_size_policy(FrameSizePolicy.uncompressed(64 << 10)),
+        io.BytesIO(),
+    )
+    enc.compress_with_prefix(new, old)
+    enc.finish()
+    archive = enc._writer.getvalue()
+    st = SeekTable.from_seekable(BytesWrapper(archive))
+    assert st.size_decomp == len(new)
+
+    # Patch pays: much smaller than plain compression of `new`.
+    plain = Encoder(
+        EncodeOptions()
+        .with_backend("tpu")
+        .with_frame_size_policy(FrameSizePolicy.uncompressed(64 << 10)),
+        io.BytesIO(),
+    )
+    plain.compress(new)
+    plain.finish()
+    assert len(archive) < len(plain._writer.getvalue()) / 2
+
+    # Decode through the tpu backend with the prefix.
+    dec = (
+        DecodeOptions(BytesWrapper(archive))
+        .with_backend("tpu")
+        .with_prefix(old)
+        .into_decoder()
+    )
+    assert dec.read(-1) == new
+
+    # Cross-check every frame against libzstd with the same prefix.
+    parts = []
+    for i in range(st.num_frames):
+        s, e = st.frame_start_comp(i), st.frame_end_comp(i)
+        parts.append(
+            zstd_decompress(archive[s:e], st.frame_size_decomp(i), prefix=old)
+        )
+    assert b"".join(parts) == new

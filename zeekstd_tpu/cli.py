@@ -252,8 +252,6 @@ def _open_output(args, derive, is_stdin: bool):
 
 def cmd_compress(args) -> int:
     if args.backend == "tpu":
-        if args.patch_from:
-            raise CliError("--patch-from is not supported with --backend tpu")
         if args.frame_size_policy == "compressed":
             raise CliError(
                 "--frame-size-policy compressed is not supported with "
@@ -353,8 +351,6 @@ def cmd_decompress(args) -> int:
     out, out_path = _open_output(
         args, lambda: _derive_decompress_output(args.input), is_stdin
     )
-    if args.backend == "tpu" and args.patch_apply:
-        raise CliError("--patch-apply is not supported with --backend tpu")
     prefix = _load_prefix(args.patch_apply, args.mmap_prefix)
 
     if args.seek_table_file:

@@ -105,8 +105,8 @@ class DecodeOptions:
 
     def with_backend(self, backend: str) -> "DecodeOptions":
         """"auto" (native when available), "python", "native", or
-        "tpu" — frames decode through the batched device pipeline
-        (prefixes unsupported there)."""
+        "tpu" — frames decode through the batched device pipeline,
+        including prefix/patch mode."""
         if backend not in ("auto", "python", "native", "tpu"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
@@ -212,13 +212,9 @@ class Decoder:
         self._read_compressed += len(buf)
         expected_size = self._st.frame_size_decomp(index)
         if self._backend == "tpu":
-            if self._prefix is not None:
-                raise ValueError(
-                    "prefix/patch mode is not supported on the tpu backend"
-                )
             from .tpu_codec import tpu_decompress_frame
 
-            out, fend = tpu_decompress_frame(buf)
+            out, fend = tpu_decompress_frame(buf, prefix=self._prefix or b"")
         elif self._backend == "native":
             from .native.frame import native_decompress_frame
 

@@ -112,7 +112,7 @@ class EncodeOptions:
     def with_backend(self, backend: str) -> "EncodeOptions":
         """"auto" (native when available), "python", "native", or
         "tpu" — the batched device archive pipeline (uncompressed frame
-        policy only; prefixes unsupported there)."""
+        policy only; prefix/patch mode supported)."""
         if backend not in ("auto", "python", "native", "tpu"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
@@ -258,6 +258,7 @@ class RawEncoder:
             frame_size=fsize,
             checksum=self.cctx.checksum,
             level=self.cctx.level,
+            prefix=self._prefix or b"",
         )
         for i in range(st.num_frames):
             self._seek_table.log_frame(
@@ -266,10 +267,6 @@ class RawEncoder:
         return blob
 
     def _tpu_compress(self, data) -> bytes:
-        if self._prefix is not None:
-            raise ValueError(
-                "prefix/patch mode is not supported on the tpu backend"
-            )
         if self.options.frame_size_policy.kind != "uncompressed":
             raise ValueError(
                 "the tpu backend supports the uncompressed frame-size "

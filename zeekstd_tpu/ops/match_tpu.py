@@ -300,7 +300,8 @@ def level_cap(level: int):
     return MATCH_CAP, CONT_WORDS
 
 
-def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: int = 3):
+def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: int = 3,
+                start: int = 0):
     """Full parallel parse of one frame.
 
     Returns (lls, mls, offs int32[seq_bound]; n_seq; literals uint8[N];
@@ -308,10 +309,16 @@ def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: i
     by the consumers via ``rep1_offset_values``); sequences are already
     merged across capped continuations; trailing literals are the final ll
     with ml=0 handled by the caller via n_lit accounting.
+
+    ``start`` (a multiple of block_size) marks a dictionary/prefix region
+    data_u8[:start]: positions there may SOURCE matches but emit neither
+    sequences nor literals — the TPU form of CCtx::ref_prefix (reference
+    lib/src/encode.rs:332-338).
     """
     n = data_u8.shape[0]
     if n_valid is None:
         n_valid = n
+    assert start % block_size == 0, "prefix must be block-aligned"
     p = jnp.arange(n, dtype=jnp.int32)
 
     # Candidate set: level-scaled short-hash chain + 16-byte long-hash
@@ -357,6 +364,9 @@ def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: i
     good = jnp.logical_and(mlen >= MIN_MATCH, 6 * mlen >= 14 + offbits)
     # Never start a match in the final MIN_MATCH tail of the valid region.
     good = jnp.logical_and(good, p < n_valid - MIN_MATCH)
+    if start:
+        # Prefix region: match sources only — no sequences, no literals.
+        good = jnp.logical_and(good, p >= start)
 
     step = jnp.where(good, jnp.maximum(mlen, 1), 1)
     mlen_max = cap + (8 if cw == 1 else 0)
@@ -364,7 +374,8 @@ def parse_frame(data_u8, block_size: int, seq_bound: int, n_valid=None, level: i
 
     is_seq = jnp.logical_and(reach, good)
     is_lit = jnp.logical_and(
-        jnp.logical_and(reach, jnp.logical_not(good)), p < n_valid
+        jnp.logical_and(reach, jnp.logical_not(good)),
+        jnp.logical_and(p < n_valid, p >= start) if start else p < n_valid,
     )
 
     # Literal stream compaction.

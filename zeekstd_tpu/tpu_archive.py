@@ -153,31 +153,36 @@ def _stats_tail_one_frame(seq_bound: int, blocks_per_frame: int):
     return tail
 
 
-def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: int, level: int = 3):
+def _parse_stats_one_frame(frame_size: int, seq_bound: int, blocks_per_frame: int, level: int = 3,
+                           prefix_len: int = 0):
     """Pure per-frame parse+stats function — the unit both the single-chip
-    path (jit∘vmap) and the mesh pipeline (jit∘shard_map∘vmap) build on."""
+    path (jit∘vmap) and the mesh pipeline (jit∘shard_map∘vmap) build on.
+    With ``prefix_len`` (block-aligned) the input rows are prefix‖frame and
+    sequences may reference the prefix region (patch mode)."""
     from .ops.match_tpu import parse_frame
 
     tail = _stats_tail_one_frame(seq_bound, blocks_per_frame)
 
     def one_frame(data_u8, n_valid):
         lls, mls, offs, n_seq, lits, n_lit, n_raw = parse_frame(
-            data_u8, BLOCK_SIZE, seq_bound, n_valid=n_valid, level=level
+            data_u8, BLOCK_SIZE, seq_bound,
+            n_valid=prefix_len + n_valid, level=level, start=prefix_len,
         )
         return tail(lls, mls, offs, n_seq, lits, n_lit, n_raw, n_valid)
 
     return one_frame
 
 
-def _parse_stats_packed_fn(frame_size: int, seq_bound: int, B: int, level: int = 3):
+def _parse_stats_packed_fn(frame_size: int, seq_bound: int, B: int, level: int = 3,
+                           prefix_len: int = 0):
     """jit(vmap(one_frame)) with the small per-frame statistics packed into
     ONE int32 row per frame — a single host pull instead of nine (each
     device->host transfer on this link costs tens of ms of latency)."""
     jax, jnp = _jx()
-    key = ("parse_stats_packed", frame_size, seq_bound, B, level)
+    key = ("parse_stats_packed", frame_size, seq_bound, B, level, prefix_len)
     if key in _fns:
         return _fns[key]
-    one_frame = _parse_stats_one_frame(frame_size, seq_bound, B, level)
+    one_frame = _parse_stats_one_frame(frame_size, seq_bound, B, level, prefix_len)
 
     def packed(data_u8, n_valid):
         (adj_ll, mls, ovs, llc, mlc, ofc, lits,
@@ -597,6 +602,7 @@ def _layout_archive(
     datas, blocks, overflow, fse_bits, huf_bits,
     fse_byte_shape, huf_byte_shape, lits_shape, frames_shape,
     checksum: bool,
+    prefix_len: int = 0,
 ):
     """Byte-exact archive layout (host): one SegmentPlan over the local
     frames ``datas`` (list of per-frame bytes). Returns (plan, d_sizes);
@@ -628,7 +634,9 @@ def _layout_archive(
             continue
 
         plan.add_static(
-            f, frame_mod.write_frame_header(flen, max(flen, 1024), checksum)
+            f, frame_mod.write_frame_header(
+                flen, max(flen + prefix_len, 1024), checksum
+            )
         )
         n_blocks_f = -(-flen // BLOCK_SIZE)
         emit_state = {"tree_id": None, "fse_ids": {}}
@@ -637,7 +645,8 @@ def _layout_archive(
             assert d["frame"] == f and d["block"] == b
             bi += 1
             last = b == n_blocks_f - 1
-            _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits, emit_state)
+            _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits,
+                        emit_state, prefix_len)
         if checksum:
             h = XXH64(0)
             h.update(fdata)
@@ -675,6 +684,7 @@ def tpu_compress_archive(
     checksum: bool = False,
     return_device: bool = False,
     level: int = 3,
+    prefix: bytes = b"",
 ):
     """Compress ``data`` (bytes, or a ``StagedInput`` already resident on
     device) into seekable frames with the batched device pipeline; returns
@@ -683,6 +693,13 @@ def tpu_compress_archive(
     With ``return_device=True`` the final pull is skipped and
     (device_rows uint8[F, frame_bound], c_sizes, SeekTable) is returned —
     the on-device benchmark surface (compressed bytes stay in HBM).
+
+    ``prefix`` enables patch mode: it is re-referenced at every frame
+    start exactly like CCtx::ref_prefix (reference
+    lib/src/encode.rs:332-338). The device parse requires block alignment,
+    so only the LAST floor(len/BLOCK_SIZE) blocks of the prefix are
+    searched — the nearest window, always sound (a decoder referencing
+    the full prefix sees identical bytes at those offsets).
     """
     jax, jnp = _jx()
 
@@ -691,6 +708,10 @@ def tpu_compress_archive(
         if staged.frame_size != frame_size:
             raise ValueError("StagedInput frame_size mismatch")
         data = staged.data
+    plen = (len(prefix) // BLOCK_SIZE) * BLOCK_SIZE
+    prefix_c = prefix[len(prefix) - plen :] if plen else b""
+    if plen and staged is not None:
+        raise ValueError("StagedInput cannot carry a prefix")
     n = len(data)
     if n == 0:
         from .codec.compress import compress_frame
@@ -707,11 +728,28 @@ def tpu_compress_archive(
     # Input rows cross the host->device link exactly ONCE (both the parse
     # and the assembler read them; a second jnp.asarray of the same numpy
     # array re-uploads the whole corpus — ~2s per 10 MiB on this tunnel).
-    if staged is None:
-        staged = StagedInput(data, frame_size)
-    frames_dev = staged.frames_dev
-    lengths = staged.lengths
-    frames_shape = (F, frame_size)
+    if plen:
+        # Patch mode: every frame row is prefix‖frame (the prefix is
+        # re-referenced at each frame start, like the reference's
+        # per-frame ref_prefix).
+        rows = np.zeros((F, plen + frame_size), np.uint8)
+        lengths = np.zeros(F, np.int32)
+        pfx = np.frombuffer(prefix_c, np.uint8)
+        for i in range(F):
+            chunk = data[i * frame_size : (i + 1) * frame_size]
+            rows[i, :plen] = pfx
+            rows[i, plen : plen + len(chunk)] = np.frombuffer(chunk, np.uint8)
+            lengths[i] = len(chunk)
+        frames_dev = jnp.asarray(rows)
+        lengths_dev = jnp.asarray(lengths)
+        frames_shape = (F, plen + frame_size)
+    else:
+        if staged is None:
+            staged = StagedInput(data, frame_size)
+        frames_dev = staged.frames_dev
+        lengths = staged.lengths
+        lengths_dev = staged.lengths_dev
+        frames_shape = (F, frame_size)
 
     # --- dispatch 1: parse + stats ---------------------------------------
     with phase_timer("enc.parse_dispatch") as _pt:
@@ -726,6 +764,7 @@ def tpu_compress_archive(
             level == 1
             and frame_size % BLOCK_SIZE == 0
             and frame_size <= (1 << 20)
+            and plen == 0
             and match_mode == "kernel"
         )
         if use_match_kernel:
@@ -734,12 +773,14 @@ def tpu_compress_archive(
             meta_mk = _mk_records(F, B, BLOCK_SIZE, lengths)
             parse = _match_stats_packed_fn(frame_size, seq_bound, B, F)
             (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d) = (
-                parse(frames_dev, staged.lengths_dev, jnp.asarray(meta_mk))
+                parse(frames_dev, lengths_dev, jnp.asarray(meta_mk))
             )
         else:
-            parse = _parse_stats_packed_fn(frame_size, seq_bound, B, level)
+            parse = _parse_stats_packed_fn(
+                frame_size, seq_bound, B, level, prefix_len=plen
+            )
             (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d) = (
-                parse(frames_dev, staged.lengths_dev)
+                parse(frames_dev, lengths_dev)
             )
         _pt.fence(stats_d)
 
@@ -829,7 +870,7 @@ def tpu_compress_archive(
         datas, blocks, overflow, fse_bits, huf_bits,
         (fse_words.shape[0], fse_words.shape[1] * 4),
         (huf_words.shape[0], huf_words.shape[1] * 4),
-        lits_d.shape, frames_shape, checksum,
+        lits_d.shape, frames_shape, checksum, prefix_len=plen,
     )
     seg_dest, seg_base, static_pool, c_sizes = plan.build_runs()
     frame_bound = 1 << max((int(c_sizes.max()) - 1).bit_length(), 7)
@@ -888,7 +929,8 @@ def _stream_len(bits: int) -> int:
     return int(bits) // 8 + 1
 
 
-def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits, emit_state=None):
+def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits, emit_state=None,
+                prefix_len: int = 0):
     """Lay out one block's output segments. Every section length is
     host-exact here (stream byte counts come from the pulled bit counts),
     so raw-vs-compressed is decided exactly like the host encoder.
@@ -977,7 +1019,9 @@ def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits, emit_state=None)
             plan.add_static(
                 f, frame_mod.write_block_header(last, frame_mod.BLOCK_RAW, blen)
             )
-            plan.add_raw(f, f, raw_block_off, blen)
+            # With prefix staging the frame bytes start prefix_len into
+            # the device row.
+            plan.add_raw(f, f, prefix_len + raw_block_off, blen)
         return
 
     plan.add_static(

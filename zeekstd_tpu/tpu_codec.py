@@ -794,10 +794,16 @@ def _frame_triples(plan, decoded_streams, si, seq_lookup):
     return lls, mls, offs, literals, si
 
 
-def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = True):
+def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = True,
+                         prefix: bytes = b""):
     """Decode one zstd frame with the device kernels (host parses headers
     and entropy tables; Huffman/FSE symbol loops and sequence execution run
-    on device). Returns (bytes, end_pos)."""
+    on device). Returns (bytes, end_pos).
+
+    ``prefix`` mirrors DCtx::ref_prefix (reference lib/src/decode.rs:212-214):
+    match offsets may reach before the frame into it. It rides the device
+    dispatch as a leading pseudo literal run (ll=len, ml=0) and is sliced
+    off the output."""
     jax, jnp = _lazy_jax()
     from .errors import checksum_wrong, corruption_detected
     from .ops.seq_exec import execute_sequences_tpu
@@ -820,6 +826,17 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
             seq_lookup[id(d)] = (lls_b[i], mls_b[i], offs_b[i])
 
     lls, mls, offs, literals, _ = _frame_triples(plan, decoded_streams, 0, seq_lookup)
+
+    plen = len(prefix)
+    if plen:
+        # Prefix = a leading pseudo literal run: offsets into the prefix
+        # land before the frame's first output byte naturally.
+        lls = np.concatenate([[plen], lls]).astype(np.int32)
+        mls = np.concatenate([[0], mls]).astype(np.int32)
+        offs = np.concatenate([[1], offs]).astype(np.int32)
+        literals = np.concatenate(
+            [np.frombuffer(bytes(prefix), np.uint8), literals]
+        )
 
     # Hostile-input validation before touching the device: matches must not
     # reach before the frame start, literal runs must not exceed the block
@@ -844,8 +861,10 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
         # Copy chains nested deeper than 2^N_DOUBLINGS segments: host decode.
         from .codec.decompress import decompress_frame
 
-        return decompress_frame(frame, pos)
-    result = bytes(np.asarray(out)[:total])
+        return decompress_frame(frame, pos, prefix=prefix) if plen else (
+            decompress_frame(frame, pos)
+        )
+    result = bytes(np.asarray(out)[plen:total])
 
     if hdr.content_size is not None and len(result) != hdr.content_size:
         raise corruption_detected("frame content size mismatch")
