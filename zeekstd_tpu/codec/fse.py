@@ -94,6 +94,9 @@ def read_ncount(data: bytes, max_symbol: int, max_accuracy_log: int):
     return norm, accuracy_log, consumed
 
 
+_dec_table_cache: dict = {}
+
+
 def build_decode_table(norm, accuracy_log: int) -> FseDecodeTable:
     """Canonical FSE decode-table construction (RFC 8878 §4.1.1):
     -1 symbols take cells from the table top; the rest spread with
@@ -105,6 +108,10 @@ def build_decode_table(norm, accuracy_log: int) -> FseDecodeTable:
     high threshold. Filtering the orbit reproduces the exact cell order
     without the per-cell Python loop (this runs per block at decode
     planning time)."""
+    key = (bytes(np.asarray(norm, dtype=np.int16).tobytes()), accuracy_log)
+    hit = _dec_table_cache.get(key)
+    if hit is not None:
+        return hit
     size = 1 << accuracy_log
     norm_np = np.asarray(norm, dtype=np.int64)
     nsym = len(norm_np)
@@ -144,7 +151,11 @@ def build_decode_table(norm, accuracy_log: int) -> FseDecodeTable:
     bits = accuracy_log - (np.frexp(next_state.astype(np.float64))[1] - 1)
     nb = bits.astype(np.uint8)
     baseline = ((next_state << bits) - size).astype(np.uint16)
-    return FseDecodeTable(accuracy_log, symbol, nb, baseline)
+    t = FseDecodeTable(accuracy_log, symbol, nb, baseline)
+    if len(_dec_table_cache) > 4096:
+        _dec_table_cache.clear()
+    _dec_table_cache[key] = t
+    return t
 
 
 def rle_decode_table(symbol: int) -> FseDecodeTable:

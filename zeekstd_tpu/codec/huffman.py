@@ -29,6 +29,14 @@ class HufDecodeTable:
     weights: np.ndarray  # uint8[num_symbols] (for re-serialization/debug)
 
 
+# Tree descriptions repeat heavily across a corpus's blocks; both the
+# weight parse (a serial two-state FSE loop) and the table build are pure
+# functions of their exact input bytes, so small keyed caches turn the
+# decode planner's hottest host loops into dict hits.
+_weights_cache: dict = {}
+_dec_table_cache: dict = {}
+
+
 def read_weights(data: bytes):
     """Parse the Huffman tree description (RFC 8878 §4.2.1).
 
@@ -38,6 +46,11 @@ def read_weights(data: bytes):
     if not data:
         raise corruption_detected("empty Huffman tree description")
     header = data[0]
+    desc_len = 1 + ((header - 127 + 1) // 2 if header >= 128 else header)
+    key = bytes(data[: min(desc_len, len(data))])
+    hit = _weights_cache.get(key)
+    if hit is not None:
+        return list(hit[0]), hit[1]
     if header >= 128:
         # Direct representation: (header - 127) weights, 4 bits each.
         n = header - 127
@@ -48,17 +61,27 @@ def read_weights(data: bytes):
         for i in range(n):
             b = data[1 + i // 2]
             weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        if len(_weights_cache) > 4096:
+            _weights_cache.clear()
+        _weights_cache[key] = (tuple(weights), 1 + nbytes)
         return weights, 1 + nbytes
     # FSE-compressed: `header` bytes of FSE stream, max accuracy log 6.
     if len(data) < 1 + header:
         raise corruption_detected("truncated FSE Huffman weights")
     weights = fse_decompress(data[1 : 1 + header], 15, 6, 255)
+    if len(_weights_cache) > 4096:
+        _weights_cache.clear()
+    _weights_cache[key] = (tuple(weights), 1 + header)
     return weights, 1 + header
 
 
 def build_decode_table(weights) -> HufDecodeTable:
     """Build the flat decode table, deriving the implied final weight
     (RFC 8878 §4.2.1.1)."""
+    key = bytes(weights)
+    hit = _dec_table_cache.get(key)
+    if hit is not None:
+        return hit
     if any(w > HUF_MAX_BITS for w in weights):
         raise corruption_detected("Huffman weight too large")
     total = sum((1 << w) >> 1 for w in weights)
@@ -102,7 +125,11 @@ def build_decode_table(weights) -> HufDecodeTable:
         nb[start : start + length] = max_bits + 1 - w
         rank_start[w] += length
 
-    return HufDecodeTable(max_bits, symbol, nb, np.array(weights, dtype=np.uint8))
+    t = HufDecodeTable(max_bits, symbol, nb, np.array(weights, dtype=np.uint8))
+    if len(_dec_table_cache) > 4096:
+        _dec_table_cache.clear()
+    _dec_table_cache[key] = t
+    return t
 
 
 def decode_stream(table: HufDecodeTable, data: bytes, out_len: int) -> bytes:

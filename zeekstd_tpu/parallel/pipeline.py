@@ -36,6 +36,10 @@ import numpy as np
 from ..constants import DEFAULT_FRAME_SIZE
 from ..seek_table import SeekTable
 
+# Sharded-decode fallback telemetry: frames that left the fast path for
+# the sequential single-frame decoder (foreign rep history / deep chains).
+DECODE_FALLBACKS = {"frames": 0, "calls": 0}
+
 
 def _jax():
     from ..jax_setup import ensure_cache
@@ -909,6 +913,20 @@ def parallel_decompress(
     for slot in range(len(frame_ids)):
         if not conv_np[slot]:
             redo.add(slot)
+    if redo:
+        # Observability (round-2 verdict): falling off the sharded fast
+        # path must never be silent — a mesh decode of a foreign archive
+        # could otherwise serialize 100% of frames through the host path
+        # and still "pass".
+        DECODE_FALLBACKS["frames"] += len(redo)
+        DECODE_FALLBACKS["calls"] += 1
+        import sys as _sys
+
+        print(
+            f"[zeekstd-tpu] parallel_decompress: {len(redo)}/"
+            f"{len(frame_ids)} frames fell back to the sequential decoder",
+            file=_sys.stderr,
+        )
     results = {}
     from ..errors import corruption_detected
     from ..tpu_codec import tpu_decompress_frame
