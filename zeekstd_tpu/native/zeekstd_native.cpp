@@ -131,6 +131,38 @@ struct BitWriter {
   }
 };
 
+// Raw-pointer bit writer for the hot emit loops: the caller reserves
+// worst-case capacity once, so flushes are a plain 4-byte store instead
+// of a vector resize per 32 bits (measured ~15% of L1 encode time).
+struct RawBitWriter {
+  u64 acc = 0;
+  int nbits = 0;
+  u8* p;
+  explicit RawBitWriter(u8* dst) : p(dst) {}
+  inline void add(u32 value, int n) {
+    acc |= ((u64)value & ((n >= 32) ? 0xFFFFFFFFULL : ((1ULL << n) - 1)))
+           << nbits;
+    nbits += n;
+    if (nbits >= 32) {
+      u32 lo = (u32)acc;
+      memcpy(p, &lo, 4);
+      p += 4;
+      acc >>= 32;
+      nbits -= 32;
+    }
+  }
+  inline void add_wide(u64 value, int n) {
+    if (n <= 32) { add((u32)value, n); return; }
+    add((u32)value, 32);
+    add((u32)(value >> 32), n - 32);
+  }
+  inline u8* finish() {  // sentinel + byte align; returns one-past-end
+    add(1, 1);
+    while (nbits > 0) { *p++ = (u8)acc; acc >>= 8; nbits -= 8; }
+    return p;
+  }
+};
+
 // Backward bit reader over [start, end): last byte holds the sentinel.
 struct BitReaderBack {
   const u8* start;
@@ -322,6 +354,10 @@ struct FseEncState {
     return bits;
   }
   inline void flush(BitWriter& bw) { bw.add((u32)state, t->log); }
+  inline u64 flush_bits(int* nb_out) {
+    *nb_out = t->log;
+    return (u64)(u32)state & ((1ULL << t->log) - 1);
+  }
 };
 
 // Parse an FSE table description; returns bytes consumed or 0 on error.
@@ -1011,9 +1047,38 @@ static int bt_insert_search(const u8* base, const u8* ip, const u8* iend,
                             Matcher& M, int nb_compares, OptCand* out,
                             bool collect, u32 rec_cap);
 
+// Experiment knobs for the L1 loop (mirrors the Pallas match kernel's
+// design space; used by tools/native_prof.cpp grid searches).
+static int l1_hb() {
+  static int v = [] { const char* e = getenv("ZN_L1_HB"); return e ? atoi(e) : 17; }();
+  return v;
+}
+static int l1_winlog() {
+  static int v = [] { const char* e = getenv("ZN_L1_WINLOG"); return e ? atoi(e) : 30; }();
+  return v;
+}
+static int l1_lazy() {
+  static int v = [] { const char* e = getenv("ZN_L1_LAZY"); return e ? atoi(e) : 0; }();
+  return v;
+}
+static int l1_p4() {
+  static int v = [] { const char* e = getenv("ZN_L1_P4"); return e ? atoi(e) : 0; }();
+  return v;
+}
+static int l1_stride() {
+  static int v = [] { const char* e = getenv("ZN_L1_STRIDE"); return e ? atoi(e) : 2; }();
+  return v;
+}
+static const int L1_HASHLOG = 17;
+static inline u32 l1_hash6(const u8* p) {
+  u64 v = read64(p) & 0xFFFFFFFFFFFFULL;
+  return (u32)((v * 0xCF1BBCDCB7A56463ULL) >> (64 - L1_HASHLOG));
+}
 static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
                            u32 reps[3], std::vector<Seq>& seqs,
                            std::vector<u8>& lits) {
+  const int HB = l1_hb(), LAZY = l1_lazy(), P4 = l1_p4(), STRIDE = l1_stride();
+  const u32 wcap = l1_winlog() >= 30 ? 0x7FFFFFFFu : (1u << l1_winlog());
   const u8* base = src;
   const u8* ip = src + pos;
   const u8* iend = ip + len;
@@ -1021,55 +1086,118 @@ static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
   const u8* mlimit = iend;
   if (len < 16) { lits.insert(lits.end(), ip, iend); return; }
   const u8* search_end = iend - 8;
-  while (ip < search_end) {
-    u32 best_len = 0, best_off = 0;
-    size_t cur = (size_t)(ip - base);
-    u32 r1 = reps[0];
-    if (cur >= r1 && read32(ip) == read32(ip - r1)) {
-      best_len = match_len(ip, ip - r1, mlimit);
-      best_off = r1;
-    }
-    u32 h = Matcher::hash6(ip);
+  // Raw literal emission: reserve once, wildcopy 16 B at a time, trim at
+  // return (vector::insert's growth check + memmove per run measured ~8%
+  // of the block parse).
+  size_t lit0 = lits.size();
+  lits.resize(lit0 + len + 32);
+  u8* lp = lits.data() + lit0;
+
+  // One probe at p: rep1 first (taken unconditionally, ZSTD_fast\'s
+  // repcode-favoring rule), then the 6-byte table, then an optional
+  // 4-byte near table (the kernel design space: ZN_L1_HB/P4/LAZY/...).
+  auto probe = [&](const u8* p, u32 r1, u32* off_out) -> u32 {
+    size_t cur = (size_t)(p - base);
+    u64 w8 = read64(p);
+    u32 h = (u32)(((w8 & 0xFFFFFFFFFFFFULL) * 0xCF1BBCDCB7A56463ULL) >>
+                  (64 - HB));
     i32 cand = M.table[h];
     M.table[h] = (i32)cur;
-    if (cand >= 0 && read32(base + cand) == read32(ip)) {
-      u32 l = match_len(ip, base + cand, mlimit);
-      if (l > best_len) { best_len = l; best_off = (u32)(cur - cand); }
+    if (cur >= r1 && (u32)w8 == read32(p - r1)) {
+      *off_out = r1;
+      return 4 + match_len(p + 4, p - r1 + 4, mlimit);
     }
-    if (best_len < 4 ||
-        (best_off != reps[0] && 6 * (int)best_len < 14 + highbit(best_off) + 1)) {
+    u32 bl = 0, bo = 1;
+    if (cand >= 0 && cur - cand <= wcap && read32(base + cand) == (u32)w8) {
+      bl = 4 + match_len(p + 4, base + cand + 4, mlimit);
+      bo = (u32)(cur - cand);
+    }
+    if (P4) {
+      u32 h4 = ((u32)w8 * 2654435761u) >> (32 - P4);
+      i32 c4 = M.table4[h4];
+      M.table4[h4] = (i32)cur;
+      if (c4 >= 0 && c4 != cand && cur - c4 <= wcap &&
+          read32(base + c4) == (u32)w8) {
+        u32 l4 = 4 + match_len(p + 4, base + c4 + 4, mlimit);
+        if (cand_score(l4, (u32)(cur - c4)) > cand_score(bl, bo)) {
+          bl = l4;
+          bo = (u32)(cur - c4);
+        }
+      }
+    }
+    if (bl >= 4 && 6 * (int)bl >= 14 + highbit(bo) + 1) {
+      *off_out = bo;
+      return bl;
+    }
+    return 0;
+  };
+
+  while (ip < search_end - 1) {
+    u32 best_off;
+    u32 best_len = probe(ip, reps[0], &best_off);
+    if (!best_len) {
       ip += 1 + ((size_t)(ip - anchor) >> 8);
       continue;
+    }
+    if (LAZY && best_off != reps[0] && ip + 1 < search_end - 1 &&
+        best_len < 128) {
+      // 1-step lazy race with the cost-aware gain rule (parse_block\'s):
+      // the deferred byte costs a literal, rep matches keep their
+      // no-offset-cost bonus.
+      u32 off2;
+      u32 len2 = probe(ip + 1, reps[0], &off2);
+      if (len2 >= 4) {
+        int sc1 = cand_score(best_len, best_off);
+        int sc2 = off2 == reps[0] ? 4 * (int)len2 + 2 : cand_score(len2, off2);
+        if (sc2 > sc1 + 1) {
+          ip++;
+          best_len = len2;
+          best_off = off2;
+        }
+      }
     }
     while (ip > anchor && (size_t)(ip - base) > best_off &&
            ip[-1] == *(ip - best_off - 1)) {
       ip--; best_len++;
     }
     u32 ll = (u32)(ip - anchor);
-    lits.insert(lits.end(), anchor, ip);
-    u32 ov;
-    u32 r2 = reps[1], r3 = reps[2];
-    if (ll != 0) {
-      if (best_off == reps[0]) ov = 1;
-      else if (best_off == r2) { ov = 2; reps[1] = reps[0]; reps[0] = best_off; }
-      else if (best_off == r3) { ov = 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
-      else { ov = best_off + 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+    // Wildcopy: the lits buffer has 32 spare bytes; the 16 B source
+    // overread stays inside the caller\'s buffer except near the block
+    // end, where an exact copy guards against reading past it.
+    if (anchor + ll + 16 <= iend) {
+      for (u32 c = 0; c < ll; c += 16) memcpy(lp + c, anchor + c, 16);
     } else {
-      if (best_off == r2) { ov = 1; reps[1] = reps[0]; reps[0] = best_off; }
-      else if (best_off == r3) { ov = 2; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
-      else if (best_off + 1 == reps[0] && best_off != 0) { ov = 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
-      else { ov = best_off + 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
+      memcpy(lp, anchor, ll);
+    }
+    lp += ll;
+    // Two-outcome offset coding (ZSTD_fast): rep1 or literal offset.
+    // r2/r3 code opportunities are rare at this level; their compare
+    // chain mispredicts once per sequence.
+    u32 ov;
+    if (best_off == reps[0] && ll != 0) {
+      ov = 1;
+    } else {
+      ov = best_off + 3;
+      reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = best_off;
     }
     seqs.push_back({ll, best_len, ov});
     const u8* mend = ip + best_len;
+    // Strided in-match insertion: dense (stride-1) insertion costs a
+    // hash+table write per covered byte (~3x the probe count); stride 2
+    // keeps nearly all of its ratio at half the cost.
     const u8* stop = mend < search_end ? mend : search_end;
-    int stride = best_len < 64 ? 1 : 2;
-    for (const u8* q = ip + 1; q < stop; q += stride)
-      M.table[Matcher::hash6(q)] = (i32)(q - base);
+    for (const u8* q = ip + 1; q < stop; q += STRIDE) {
+      u64 qw = read64(q);
+      M.table[(u32)(((qw & 0xFFFFFFFFFFFFULL) * 0xCF1BBCDCB7A56463ULL) >>
+                    (64 - HB))] = (i32)(q - base);
+      if (P4) M.table4[((u32)qw * 2654435761u) >> (32 - P4)] = (i32)(q - base);
+    }
     ip = mend;
     anchor = ip;
   }
-  lits.insert(lits.end(), anchor, iend);
+  memcpy(lp, anchor, (size_t)(iend - anchor));
+  lp += iend - anchor;
+  lits.resize((size_t)(lp - lits.data()));
 }
 
 static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
@@ -1320,7 +1448,8 @@ static void write_sequences_section(std::vector<u8>& out,
   }
   if (n == 0) return;
 
-  std::vector<int> llc(n), mlc(n), ofc(n);
+  static thread_local std::vector<int> llc, mlc, ofc;
+  llc.resize(n); mlc.resize(n); ofc.resize(n);
   for (size_t i = 0; i < n; i++) {
     llc[i] = ll_code(seqs[i].ll);
     mlc[i] = ml_code(seqs[i].ml);
@@ -1337,7 +1466,13 @@ static void write_sequences_section(std::vector<u8>& out,
   out.insert(out.end(), of.desc.begin(), of.desc.end());
   out.insert(out.end(), ml.desc.begin(), ml.desc.end());
 
-  BitWriter bw(&out);
+  // Emit through the raw-pointer writer into a reused scratch buffer
+  // (state writes <= 26 bits + extras <= 63 bits < 12 bytes/seq), then
+  // one memcpy into out — vector resize per 32-bit flush was ~15% of L1
+  // encode, and resizing out directly zero-fills the worst-case bound.
+  static thread_local std::vector<u8> bwbuf;
+  if (bwbuf.size() < 12 * n + 16) bwbuf.resize(12 * n + 16);
+  RawBitWriter bw(bwbuf.data());
   size_t last = n - 1;
   FseEncState mls_, ofs_, lls_;
   mls_.init(ml.table, mlc[last]);
@@ -1362,10 +1497,15 @@ static void write_sequences_section(std::vector<u8>& out,
     bw.add_wide(ofb | (mlb << ob) | (llb << (ob + mb)), ob + mb + lb);
     add_extras(i);
   }
-  mls_.flush(bw);
-  ofs_.flush(bw);
-  lls_.flush(bw);
-  bw.finish();
+  int stb;
+  u64 stv = mls_.flush_bits(&stb);
+  int stb2;
+  u64 stv2 = ofs_.flush_bits(&stb2);
+  stv |= stv2 << stb; stb += stb2;
+  stv |= lls_.flush_bits(&stb2) << stb; stb += stb2;
+  bw.add_wide(stv, stb);
+  u8* end = bw.finish();
+  out.insert(out.end(), bwbuf.data(), end);
 }
 
 // Frame header writer: window descriptor + 1-8 byte FCS (mirrors
@@ -1394,6 +1534,14 @@ static void write_frame_header(std::vector<u8>& out, u64 content_size,
   out.push_back((u8)(((exponent - 10) << 3) | mantissa));
   for (int i = 0; i < fcs_bytes; i++) out.push_back((u8)(fcs_val >> (8 * i)));
 }
+
+#ifdef ZN_ENCPROF
+#include <x86intrin.h>
+static thread_local unsigned long long zn_encprof[8];
+extern "C" void zn_encprof_get(unsigned long long* out8) {
+  for (int i = 0; i < 8; i++) { out8[i] = zn_encprof[i]; zn_encprof[i] = 0; }
+}
+#endif
 
 static const size_t BLOCK_MAX = 1 << 17;
 
@@ -1473,15 +1621,29 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
     lits.clear();
     u32 reps_in[3] = {reps[0], reps[1], reps[2]};
     int lazy = level >= 13 ? 3 : (level >= 7 ? 2 : (level >= 3 ? 1 : 0));
+#ifdef ZN_ENCPROF
+    unsigned long long _pt0 = __rdtsc();
+#endif
     if (level >= 15)
       parse_block_opt(base, prefix_n + pos, blen, M, reps, seqs, lits, depth);
     else if (level <= 1 && !prefix_n)
       parse_block_l1(base, prefix_n + pos, blen, M, reps, seqs, lits);
     else
       parse_block(base, prefix_n + pos, blen, M, reps, seqs, lits, lazy, depth);
-    std::vector<u8> body;
+#ifdef ZN_ENCPROF
+    zn_encprof[0] += __rdtsc() - _pt0; zn_encprof[3] += seqs.size();
+    zn_encprof[4] += lits.size(); _pt0 = __rdtsc();
+#endif
+    static thread_local std::vector<u8> body;
+    body.clear();
     write_literals_section(body, lits.data(), lits.size());
+#ifdef ZN_ENCPROF
+    zn_encprof[1] += __rdtsc() - _pt0; _pt0 = __rdtsc();
+#endif
     write_sequences_section(body, seqs);
+#ifdef ZN_ENCPROF
+    zn_encprof[2] += __rdtsc() - _pt0;
+#endif
     if (level >= 15) {
       // Price-seeded DP can settle into a degenerate all-literal fixed
       // point on data whose matches are short (numeric/structured text:

@@ -1,55 +1,91 @@
-"""Serial Pallas LZ77 match finder: greedy hash matching per block.
+"""Serial Pallas LZ77 match finder v3: all-scalar hot loop over SMEM.
 
-The XLA parse (ops/match_tpu.py) discovers candidates with sorts and
-strip gathers — ~200 ms/MiB of random-gather time on this chip. This
-kernel is the hardware-shaped alternative: one grid step per 32 KiB
-block, the scalar core walks positions with a VMEM-resident frame for
-match extension and SMEM-resident hash tables for candidate discovery
-(the zstd level-1 fast strategy; reference analog: the match loop under
-compress_stream2, lib/src/encode.rs:340-346).
+Round-3's kernel extended matches and copied literals with (8, 128)
+vector tiles; measured on this chip, ANY vector-op sequence inside a
+serial scalar loop costs ~300-500 ns of scalar<->vector synchronization
+latency, so per-hit cost was dominated by two such sequences (~700 ns).
+This version keeps the ENTIRE hot loop on the scalar core: a 512 KiB
+sliding window of the frame lives in SMEM as packed little-endian words
+(the same window size libzstd's level-1 fast strategy uses), so match
+extension, repeat-offset probes and literal packing are all plain SMEM
+word reads at ~1 op/cycle.
 
-Per position: hash the next 4 bytes (read from the block's words staged
-in SMEM), probe a single-entry hash table that stores BOTH the position
-and the hashed word — equal words guarantee a >=4-byte match, so no
-memory read is needed to verify a candidate. On a hit, the match
-extends via vector tile compares against the frame staged in VMEM
-(two straddle reads + lane roll + first-mismatch reduction, the same
-geometry as the decode kernels' copy_span), the literal run copies into
-the frame's literal stream, and the position jumps over the match.
-Misses advance with zstd's literal-run acceleration.
+Per visited position (reference analog: the level-1/2 match loop under
+compress_stream2, lib/src/encode.rs:340-346):
+  - read the 4-byte word (and the next) from the window, hash 6 bytes,
+    probe a single-entry hash table that stores (tagged position, word)
+    so a hit guarantees >= 4 matching bytes with no verification read;
+  - probe the rep1 offset first (word compare at p - r1): a hit is
+    taken unconditionally, like zstd's dfast repcode-favoring rule;
+  - extend word-at-a-time from the window, exact to the block end (no
+    cap, no merge pass needed);
+  - gate hash matches by the cost heuristic 6*ml >= 14 + bitlen(offset)
+    (the host matcher's rule, codec/match.py);
+  - emit (ll_written << 16 | ml) and the repeat-coded OFFSET VALUE
+    (RFC 8878 3.1.1.3.2.1.1 encoder side, exact r1/r2/r3 history across
+    blocks), bump the ll/ml/of code histograms in SMEM, pack the
+    literal run into the block's literal words and bump the literal
+    histogram.
 
-Outputs per block record: SMEM rows of (ll, ml, offset) plus a meta row
-(nseq, match-byte sum); per frame, the literal stream (uint8) lands in
-HBM. Sequences are block-contained (matches clamp at the block end) and
-positions are frame-global (the window is the whole frame), matching
-the XLA parse's framing so the downstream stats/FSE/Huffman/assembly
-pipeline is unchanged.
+Outputs per (frame, block) record, all SMEM-staged rows:
+  lm   (8, SBd8)  (ll_written << 16) | ml per sequence
+  ofv  (8, SBd8)  repeat-coded offset values
+  litw (8, 1024)  the block's literal bytes packed LE into words
+  stat (8, 64)    ll/ml/of/lit histograms + counters (see ST_* layout)
 
-Hash-table validity across frames uses position tagging (entries store
-frame*FR + pos; entries from earlier frames read as invalid), so the
-tables are zeroed once at grid step 0 only.
+Cross-block state (literal-run anchor, rep history) threads through
+SMEM scratch; blocks of one frame must therefore be visited in order
+(frame-major records). Rep locality is tracked so the host can demote
+dependent blocks when a raw-block fallback breaks the rep chain a
+later block relies on (stat ST_EXTREP).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+# meta columns
 M_FRAME = 0
-M_WROW = 1
-M_BS = 2
-M_BLEN = 3
-M_FLAGS = 4
+M_BS = 1      # block start within frame (bytes)
+M_BLEN = 2    # valid bytes in block
+M_FLAGS = 3
+M_WOFF = 4    # word offset of the block in the flat words array, /1024
+M_SLOT = 5    # window slot index for this block
 META_COLS = 8
 
 F_FRAME_START = 1
 F_FRAME_END = 2
 
-PADR = 8
-PADB = PADR * 128
+# stat row layout (index into the flattened (8, 64) = 512-slot block)
+ST_LLHIST = 0      # 36 bins
+ST_MLHIST = 36     # 53 bins
+ST_OFHIST = 89     # 32 bins
+ST_NSEQ = 121
+ST_MLSUM = 122
+ST_LITCNT = 123
+ST_EXTREP = 124    # block reads rep history inherited from earlier blocks
+ST_OVERFLOW = 125
+ST_LITHIST = 128   # 256 bins
+ST_TRASH = 508     # disabled histogram increments land here
 
-HB = 14  # hash bits; table = 2^HB positions + 2^HB words in SMEM
+HB = 14            # hash bits: 2^HB entries x (pos, word) in SMEM
+WIN_LOG = 19       # sliding window: 512 KiB (libzstd level-1 window)
 
 _fns = {}
+
+
+def make_code_tables():
+    """LL_CODE[64] + ML_CODE[128] (zstd's small-value code LUTs) packed
+    into one (256,) int32 scalar-prefetch array: [0:64] ll, [64:192] ml
+    (indexed by ml - 3)."""
+    from ..codec.sequences import LL_BASE, ML_BASE
+
+    consts = np.zeros(256, np.int32)
+    for v in range(64):
+        consts[v] = int(np.searchsorted(LL_BASE, v, side="right")) - 1
+    for mlb in range(128):
+        consts[64 + mlb] = int(np.searchsorted(ML_BASE, mlb + 3, side="right")) - 1
+    return consts
 
 
 def _build(BLK: int, FR: int, SBd: int, NRECP: int, F: int,
@@ -59,291 +95,346 @@ def _build(BLK: int, FR: int, SBd: int, NRECP: int, F: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert FR % 4096 == 0 and BLK % 512 == 0 and SBd % 8 == 0
-    FRROWS = FR // 128
+    assert FR % BLK == 0 and BLK % 4096 == 0 and SBd % 8 == 0
+    assert F * FR < (1 << 31), "hash tags need frame*FR + pos < 2^31"
+    WIN = 1 << WIN_LOG
+    WMASK = (WIN >> 2) - 1
     BLKW = BLK // 4
     BLKW8 = BLKW // 8
     SBd8 = SBd // 8
-    NREC8 = max(8, NRECP)
     HSIZE = 1 << HB
 
     shr = jax.lax.shift_right_logical
     shl = jax.lax.shift_left
-    MUL = np.int32(2654435761 - (1 << 32))  # Knuth multiplier (wraps)
+    M1 = np.int32(2654435761 - (1 << 32))  # Knuth multiplier (wraps)
+    M2 = np.int32(0x85EBCA77 - (1 << 32))
 
-    def kernel(meta_ref, words_ref, frames_hbm, ll_out, ml_out, off_out,
-               lits_hbm, meta_out, framebuf, litbuf, u8buf, ht_pos, ht_word,
-               state, dma_sem, out_sem):
+    def kernel(consts_ref, meta_ref, words_hbm, lm_out, ofv_out, litw_out,
+               stat_out, win, ht_pos, ht_word, state, dma_sem):
         i = pl.program_id(0)
         frame = meta_ref[i, M_FRAME]
         bs = meta_ref[i, M_BS]
         blen = meta_ref[i, M_BLEN]
         flags = meta_ref[i, M_FLAGS]
         fbase = frame * FR
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + lane
+        bend = bs + blen
+        lo_win = jnp.maximum(bend - WIN, 0)
 
         @pl.when(i == 0)
         def _():
             def z(h, _):
-                ht_pos[h] = -1
+                ht_pos[h] = -(1 << 30)
                 return 0
 
             jax.lax.fori_loop(0, HSIZE, z, 0)
 
-        @pl.when(flags & F_FRAME_START != 0)
+        # Stage this block's words into its window slot (HBM -> SMEM DMA).
+        # M_WOFF is stored in 1024-word units and multiplied here so
+        # Mosaic can PROVE the dynamic HBM offset is tile-aligned (a raw
+        # SMEM-loaded offset fails its divisibility check).
+        @pl.when(blen > 0)
         def _():
-            state[0] = 0  # literal stream cursor (frame coords)
-            state[1] = 0  # anchor (frame coords) — literal runs cross
-            # blocks, like the XLA parse; the downstream stats clamp the
-            # first ll of each block (adj_ll) exactly as before.
-            # Stage the frame bytes: HBM u8 -> VMEM u8 -> int32 lanes.
             dma = pltpu.make_async_copy(
-                frames_hbm.at[frame], u8buf, dma_sem
+                words_hbm.at[pl.ds(meta_ref[i, M_WOFF] * 1024, BLKW)],
+                win.at[pl.ds(meta_ref[i, M_SLOT] * BLKW, BLKW)],
+                dma_sem,
             )
             dma.start()
             dma.wait()
 
-            def cast_body(r, _):
-                framebuf[pl.ds(PADR + r * 32, 32), :] = u8buf[
-                    pl.ds(r * 32, 32), :
-                ].astype(jnp.int32)
-                return 0
+        @pl.when(flags & F_FRAME_START != 0)
+        def _():
+            state[0] = 0  # literal-run anchor (frame coords)
+            state[1] = 1  # rep1
+            state[2] = 4  # rep2
+            state[3] = 8  # rep3
 
-            jax.lax.fori_loop(0, FRROWS // 32, cast_body, 0)
+        # Clear the stat block (its SMEM staging starts undefined).
+        def zstat(s, _):
+            stat_out[0, s >> 6, s & 63] = 0
+            return 0
 
-        def word_at(pl_local):
-            q = pl_local >> 2
-            r = (pl_local & 3) * 8
-            w0 = words_ref[0, q // BLKW8, q % BLKW8]
-            w1 = words_ref[0, (q + 1) // BLKW8, (q + 1) % BLKW8]
-            return shr(w0, r) | jnp.where(r == 0, 0, shl(w1, (32 - r) & 31))
+        jax.lax.fori_loop(0, 512, zstat, 0)
 
-        def copy_lits(src, dst, L):
-            """frame[src..src+L) -> litbuf[dst..dst+L) (frame coords)."""
-
-            def cond(carry):
-                done, _ = carry
-                return done < L
-
-            def body(carry):
-                done, _ = carry
-                dd = dst + done + PADB
-                ss = src + done + PADB
-                c = jnp.minimum(L - done, 1024 - (dd & 127))
-                delta = ss - dd
-                k = jax.lax.rem(jax.lax.rem(delta, 128) + 128, 128)
-                a = (delta - k) // 128
-                pr0 = dd // 128
-                sr = pr0 + a
-                t0 = framebuf[pl.ds(sr, 8), :]
-                t1 = framebuf[pl.ds(sr + 1, 8), :]
-                pre = jnp.where(lane < k, t1, t0)
-                sh = jnp.where(k == 0, 0, 128 - k)
-                rolled = pltpu.roll(pre, sh, 1)
-                cur = litbuf[pl.ds(pr0, 8), :]
-                gpos = pr0 * 128 + gidx
-                mask = (gpos >= dd) & (gpos < dd + c)
-                litbuf[pl.ds(pr0, 8), :] = jnp.where(mask, rolled, cur)
-                return done + c, 0
-
-            jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
-
-        def match_len(a, b, maxlen):
-            """Bytes equal between frame[a..] and frame[b..] (b < a),
-            capped at maxlen."""
-
-            def cond(carry):
-                done, stop = carry
-                return (done < maxlen) & (stop == 0)
-
-            def body(carry):
-                done, _ = carry
-                aa = a + done + PADB
-                bb = b + done + PADB
-                c = jnp.minimum(maxlen - done, 1024 - (aa & 127))
-                delta = bb - aa
-                k = jax.lax.rem(jax.lax.rem(delta, 128) + 128, 128)
-                adj = (delta - k) // 128
-                pr0 = aa // 128
-                sr = pr0 + adj
-                t0 = framebuf[pl.ds(sr, 8), :]
-                t1 = framebuf[pl.ds(sr + 1, 8), :]
-                pre = jnp.where(lane < k, t1, t0)
-                sh = jnp.where(k == 0, 0, 128 - k)
-                rolled = pltpu.roll(pre, sh, 1)
-                cur = framebuf[pl.ds(pr0, 8), :]
-                gpos = pr0 * 128 + gidx
-                neq = (rolled != cur) & (gpos >= aa) & (gpos < aa + c)
-                first = jnp.min(jnp.where(neq, gpos, jnp.int32(1 << 30)))
-                hit = first < aa + c
-                newdone = jnp.where(hit, done + (first - aa), done + c)
-                return newdone, jnp.where(hit, 1, 0)
-
-            done, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), jnp.int32(0))
+        def win_w(q):
+            """Little-endian 4-byte word at frame byte q (window coords)."""
+            qi = shr(q, 2)
+            s = (q & 3) * 8
+            a = win[qi & WMASK]
+            b = win[(qi + 1) & WMASK]
+            return jnp.where(
+                s == 0, a, shr(a, s) | shl(b, (32 - s) & 31)
             )
-            return done
 
-        def insert(p_local, abs_p):
-            w = word_at(p_local)
-            h = shr(w * MUL, 32 - HB)
-            ht_pos[h] = fbase + abs_p
-            ht_word[h] = w
+        def highbit(x):
+            return 31 - jax.lax.clz(jnp.maximum(x, 1))
 
-        # Greedy matching over [0, blen-12); the last 12 bytes are always
-        # literals (keeps every SMEM word read inside the staged block).
+        def hinc(base, b, en):
+            idx = jnp.where(en, base + b, ST_TRASH)
+            hi, lo = idx >> 6, idx & 63
+            stat_out[0, hi, lo] = stat_out[0, hi, lo] + 1
+
+        def extend(a, b, maxl):
+            """Matching bytes between frame positions a and b (b < a),
+            word-at-a-time from the window, capped at maxl (>= 0)."""
+
+            def cond(c):
+                return c[1]
+
+            def body(c):
+                k, _ = c
+                x = win_w(a + k) ^ win_w(b + k)
+                eq = x == 0
+                add = jnp.where(
+                    eq,
+                    4,
+                    ((x & 0xFF) == 0).astype(jnp.int32)
+                    + ((x & 0xFFFF) == 0).astype(jnp.int32)
+                    + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
+                )
+                k2 = jnp.minimum(k + add, maxl)
+                return k2, eq & (k2 < maxl)
+
+            k, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), maxl > 0)
+            )
+            return k
+
+        def emit_lits(src, dst, L):
+            """Pack frame bytes [src, src+L) into litw at byte dst and
+            bump the literal histogram. 4 bytes per step."""
+
+            def cond(c):
+                return c < L
+
+            def body(done):
+                w = win_w(src + done)
+                take = jnp.minimum(4, L - done)
+                d = dst + done
+                j = shr(d, 2)
+                s = (d & 3) * 8
+                m = jnp.where(take >= 4, jnp.int32(-1), shl(1, take * 8) - 1)
+                v = w & m
+                jh, jl = j // BLKW8, j % BLKW8
+                old = litw_out[0, jh, jl]
+                litw_out[0, jh, jl] = (old & ~shl(m, s)) | shl(v, s)
+
+                @pl.when(s + take * 8 > 32)
+                def _():
+                    j2 = j + 1
+                    sh2 = (32 - s) & 31
+                    j2h, j2l = j2 // BLKW8, j2 % BLKW8
+                    old2 = litw_out[0, j2h, j2l]
+                    litw_out[0, j2h, j2l] = (
+                        (old2 & ~shr(m, sh2)) | shr(v, sh2)
+                    )
+
+                hinc(ST_LITHIST, w & 0xFF, True)
+                hinc(ST_LITHIST, shr(w, 8) & 0xFF, take > 1)
+                hinc(ST_LITHIST, shr(w, 16) & 0xFF, take > 2)
+                hinc(ST_LITHIST, shr(w, 24) & 0xFF, take > 3)
+                return done + 4
+
+            jax.lax.while_loop(cond, body, jnp.int32(0))
+
+        def insert(abs_q):
+            q0 = win_w(abs_q)
+            q1 = win_w(abs_q + 4)
+            h = shr((q0 * M1) ^ ((q1 & 0xFFFF) * M2), 32 - HB)
+            ht_pos[h] = fbase + abs_q
+            ht_word[h] = q0
+
         limit = blen - 12
 
         def cond(carry):
-            p, anchor, nseq, mlsum = carry
-            return (p < limit) & (nseq < SBd)
+            p = carry[0]
+            return p < limit
 
         def body(carry):
-            p, anchor, nseq, mlsum = carry
-            w = word_at(p)
-            h = shr(w * MUL, 32 - HB)
+            (p, anchor, nseq, mlsum, litdst, r1, r2, r3, repm, ext_rep) = carry
+            abs_p = bs + p
+            qi = shr(abs_p, 2)
+            s = (abs_p & 3) * 8
+            a0 = win[qi & WMASK]
+            a1 = win[(qi + 1) & WMASK]
+            a2 = win[(qi + 2) & WMASK]
+            nz = s != 0
+            w = jnp.where(nz, shr(a0, s) | shl(a1, (32 - s) & 31), a0)
+            w2 = jnp.where(nz, shr(a1, s) | shl(a2, (32 - s) & 31), a1)
+            h = shr((w * M1) ^ ((w2 & 0xFFFF) * M2), 32 - HB)
             cand_gp = ht_pos[h]
             cand_w = ht_word[h]
-            abs_p = bs + p
             ht_pos[h] = fbase + abs_p
             ht_word[h] = w
-            cand = cand_gp - fbase
-            probe = (cand_gp >= fbase) & (cand_w == w)
 
-            # Zero-trip-on-miss: match_len/copy_lits are while loops whose
-            # first condition check exits immediately at L == 0, so misses
-            # pay only a couple of scalar compares (no lax.cond needed).
-            ext = match_len(
-                abs_p + 4, cand + 4,
-                jnp.where(probe, bs + blen - (abs_p + 4), 0),
+            rsrc = abs_p - r1
+            rep_hit = (rsrc >= lo_win) & (win_w(rsrc) == w)
+
+            cand = cand_gp - fbase
+            hash_ok = (cand_gp >= fbase + lo_win) & (cand_w == w)
+
+            src = jnp.where(rep_hit, rsrc, cand)
+            check = rep_hit | hash_ok
+            maxl = jnp.where(check, bend - (abs_p + 4), 0)
+            ml = 4 + extend(abs_p + 4, src + 4, maxl)
+            off = abs_p - src
+            # nseq < SBd: a 32 KiB block can emit at most SBd = BLK/4
+            # sequences (every hit advances >= 4); at exactly SBd the
+            # output rows are full — stop emitting and flag overflow so
+            # the frame falls back to the host encoder.
+            hit = check & (
+                rep_hit | (6 * ml >= 14 + highbit(off) + 1)
+            ) & (nseq < SBd)
+
+            ll = abs_p - anchor
+            ll_w = jnp.minimum(ll, p)
+
+            # Repeat-offset VALUE (encoder side of RFC 8878
+            # 3.1.1.3.2.1.1: the ll == 0 row shifts which history slot
+            # each code addresses).
+            isz = ll_w == 0
+            o1 = jnp.where(isz, r2, r1)
+            o2 = jnp.where(isz, r3, r2)
+            o3 = jnp.where(isz, r1 - 1, r3)
+            ofv = jnp.where(
+                off == o1, 1,
+                jnp.where(off == o2, 2, jnp.where(off == o3, 3, off + 3)),
             )
-            ml = 4 + ext
-            # Accept >= 5 bytes: a 4-byte match at a frame-sized offset
-            # prices worse than four literals (zstd's fast levels use the
-            # same minimum).
-            hit = probe & (ext >= 1)
-            ll = p - anchor  # anchor may be negative (run from prev block)
-            copy_lits(bs + anchor, state[0],
-                      jnp.where(hit & (ll > 0), ll, 0))
-            state[0] = state[0] + jnp.where(hit, ll, 0)
+            # Which locality bit backs the emitted rep code (1-3)?
+            ridx = ofv + isz.astype(jnp.int32)  # 1..4 when ofv <= 3
+            rbit = jnp.where(
+                ridx == 1, repm & 1,
+                jnp.where(ridx == 2, (repm >> 1) & 1,
+                          jnp.where(ridx == 3, (repm >> 2) & 1, repm & 1)),
+            )
+            uses_inh = (ofv <= 3) & (rbit == 0)
+
+            # History + locality update (mirrors the decoders').
+            moved = (ofv > 3) | (ridx != 1)
+            nr3 = jnp.where(ridx == 2, r3, jnp.where(moved, r2, r3))
+            nr2 = jnp.where(moved, r1, r2)
+            nr1 = jnp.where(moved, off, r1)
+            b1, b2, b3 = repm & 1, (repm >> 1) & 1, (repm >> 2) & 1
+            nb3 = jnp.where(ridx == 2, b3, jnp.where(moved, b2, b3))
+            nb2 = jnp.where(moved, b1, b2)
+            nrepm = 1 | (nb2 << 1) | (nb3 << 2)
 
             @pl.when(hit)
             def _():
-                ll_out[0, nseq // SBd8, nseq % SBd8] = ll
-                ml_out[0, nseq // SBd8, nseq % SBd8] = ml
-                off_out[0, nseq // SBd8, nseq % SBd8] = abs_p - cand
+                emit_lits(jnp.maximum(anchor, bs), litdst, ll_w)
+                lm_out[0, nseq // SBd8, nseq % SBd8] = shl(ll_w, 16) | ml
+                ofv_out[0, nseq // SBd8, nseq % SBd8] = ofv
+                hinc(
+                    ST_LLHIST,
+                    jnp.where(ll_w < 64, consts_ref[jnp.minimum(ll_w, 63)],
+                              19 + highbit(ll_w)),
+                    True,
+                )
+                mlb = ml - 3
+                hinc(
+                    ST_MLHIST,
+                    jnp.where(mlb < 128, consts_ref[64 + jnp.minimum(mlb, 127)],
+                              36 + highbit(mlb)),
+                    True,
+                )
+                hinc(ST_OFHIST, highbit(ofv), True)
 
-            # Sparse in-match insertions (level-1 style).
+            # Sparse in-match insertions (zstd fast style).
             @pl.when(hit & (p + 1 < limit))
             def _():
-                insert(p + 1, abs_p + 1)
+                insert(abs_p + 1)
 
-            @pl.when(hit & (p + ml - 2 < limit))
+            @pl.when(hit & (p + ml - 2 < limit) & (ml > 3))
             def _():
-                insert(p + ml - 2, abs_p + ml - 2)
+                insert(abs_p + ml - 2)
 
-            p_next = jnp.where(hit, p + ml, p + 1 + shr(p - anchor, 8))
-            anchor = jnp.where(hit, p + ml, anchor)
-            nseq = nseq + jnp.where(hit, 1, 0)
-            mlsum = mlsum + jnp.where(hit, ml, 0)
-            return p_next, anchor, nseq, mlsum
+            p_next = jnp.where(hit, p + ml, p + 1 + shr(ll, 8))
+            return (
+                p_next,
+                jnp.where(hit, abs_p + ml, anchor),
+                nseq + jnp.where(hit, 1, 0),
+                mlsum + jnp.where(hit, ml, 0),
+                litdst + jnp.where(hit, ll_w, 0),
+                jnp.where(hit, nr1, r1),
+                jnp.where(hit, nr2, r2),
+                jnp.where(hit, nr3, r3),
+                jnp.where(hit, nrepm, repm),
+                ext_rep | jnp.where(hit & uses_inh, 1, 0),
+            )
 
-        anchor0 = state[1] - bs  # block-local (negative when the pending
-        # literal run started in an earlier block)
-        (p, anchor, nseq, mlsum) = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), anchor0, jnp.int32(0), jnp.int32(0))
+        (p, anchor, nseq, mlsum, litdst, r1, r2, r3, repm, ext_rep) = (
+            jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), state[0], jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), state[1], state[2], state[3], jnp.int32(0),
+                 jnp.int32(0)),
+            )
         )
-        state[1] = bs + anchor
 
-        row = jnp.zeros((1, 128), jnp.int32)
-        li = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        row = jnp.where(li == 0, nseq, row)
-        row = jnp.where(li == 1, mlsum, row)
-        # Overflow marker: the position loop stopped early with real
-        # bytes left (nseq == SBd is unreachable for BLK/4 <= SBd, kept
-        # as a belt-and-braces signal for smaller SBd builds).
-        row = jnp.where(li == 2, jnp.where((nseq >= SBd) & (p < limit), 1, 0),
-                        row)
-        meta_out[pl.ds(i, 1), :] = row
+        # Block-trailing literals (the pending run's in-block part).
+        lstart = jnp.maximum(anchor, bs)
+        trail = jnp.maximum(bend - lstart, 0)
 
-        @pl.when(flags & F_FRAME_END != 0)
+        @pl.when(trail > 0)
         def _():
-            # Frame-trailing literals: everything after the last match.
-            trail = (bs + blen) - state[1]
+            emit_lits(lstart, litdst, trail)
 
-            @pl.when(trail > 0)
-            def _():
-                copy_lits(state[1], state[0], trail)
+        state[0] = anchor
+        state[1] = r1
+        state[2] = r2
+        state[3] = r3
 
-            state[0] = state[0] + trail
-
-            def cast_body(r, _):
-                u8buf[pl.ds(r * 32, 32), :] = litbuf[
-                    pl.ds(PADR + r * 32, 32), :
-                ].astype(jnp.uint8)
-                return 0
-
-            jax.lax.fori_loop(0, FRROWS // 32, cast_body, 0)
-            dma = pltpu.make_async_copy(u8buf, lits_hbm.at[frame], out_sem)
-            dma.start()
-            dma.wait()
+        stat_out[0, ST_NSEQ >> 6, ST_NSEQ & 63] = nseq
+        stat_out[0, ST_MLSUM >> 6, ST_MLSUM & 63] = mlsum
+        stat_out[0, ST_LITCNT >> 6, ST_LITCNT & 63] = litdst + trail
+        stat_out[0, ST_EXTREP >> 6, ST_EXTREP & 63] = ext_rep
+        stat_out[0, ST_OVERFLOW >> 6, ST_OVERFLOW & 63] = jnp.where(
+            nseq >= SBd, 1, 0
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(NRECP,),
         in_specs=[
-            pl.BlockSpec((1, 8, BLKW8), lambda i, m: (m[i, M_WROW], 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # frames (F, FRROWS, 128) u8
+            pl.BlockSpec(memory_space=pl.ANY),  # words (F*FR//4,) i32
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, SBd8), lambda i, m: (i, 0, 0),
+            pl.BlockSpec((1, 8, SBd8), lambda i, c, m: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, SBd8), lambda i, m: (i, 0, 0),
+            pl.BlockSpec((1, 8, SBd8), lambda i, c, m: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, SBd8), lambda i, m: (i, 0, 0),
+            pl.BlockSpec((1, 8, BLKW // 8), lambda i, c, m: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # lits (F, FRROWS, 128) u8
-            pl.BlockSpec((NREC8, 128), lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 64), lambda i, c, m: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((PADR + FRROWS + 8, 128), jnp.int32),  # frame bytes
-            pltpu.VMEM((PADR + FRROWS + 8, 128), jnp.int32),  # literal bytes
-            pltpu.VMEM((FRROWS, 128), jnp.uint8),             # staging
+            pltpu.SMEM((WIN // 4,), jnp.int32),
             pltpu.SMEM((HSIZE,), jnp.int32),
             pltpu.SMEM((HSIZE,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
         ],
     )
 
-    def call(meta, words, frames_u8):
-        nb = words.shape[0]
-        words3 = words.reshape(nb, 8, BLKW8)
-        frames3 = frames_u8.reshape(F, FRROWS, 128)
-        ll, ml, off, lits, meta_out = pl.pallas_call(
+    def call(consts, meta, words_flat):
+        lm, ofv, litw, stat = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((NRECP, 8, SBd8), jnp.int32),
                 jax.ShapeDtypeStruct((NRECP, 8, SBd8), jnp.int32),
-                jax.ShapeDtypeStruct((NRECP, 8, SBd8), jnp.int32),
-                jax.ShapeDtypeStruct((F, FRROWS, 128), jnp.uint8),
-                jax.ShapeDtypeStruct((NREC8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((NRECP, 8, BLKW // 8), jnp.int32),
+                jax.ShapeDtypeStruct((NRECP, 8, 64), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
             ),
             interpret=interpret,
-        )(meta, words3, frames3)
+        )(consts, meta, words_flat)
         return (
-            ll.reshape(NRECP, SBd), ml.reshape(NRECP, SBd),
-            off.reshape(NRECP, SBd), lits.reshape(F, FR),
-            meta_out[:NRECP],
+            lm.reshape(NRECP, SBd), ofv.reshape(NRECP, SBd),
+            litw.reshape(NRECP, BLKW), stat.reshape(NRECP, 512),
         )
 
     return jax.jit(call)
@@ -357,8 +448,11 @@ def get_match_kernel(BLK: int, FR: int, SBd: int, NRECP: int, F: int,
     return _fns[key]
 
 
-def build_records(F: int, B: int, BLK: int, lengths):
-    """meta int32[F*B, META_COLS]: one record per (frame, block)."""
+def build_records(F: int, B: int, BLK: int, FR: int, lengths):
+    """meta int32[F*B, META_COLS]: one record per (frame, block), in
+    frame-major order (the kernel threads state across a frame's blocks)."""
+    WIN = 1 << WIN_LOG
+    NSLOT = max(WIN // BLK, 1)
     meta = np.zeros((F * B, META_COLS), np.int32)
     r = 0
     for f in range(F):
@@ -366,11 +460,12 @@ def build_records(F: int, B: int, BLK: int, lengths):
         for b in range(B):
             bs = b * BLK
             meta[r, M_FRAME] = f
-            meta[r, M_WROW] = r
             meta[r, M_BS] = bs
             meta[r, M_BLEN] = max(0, min(BLK, n_valid - bs))
             meta[r, M_FLAGS] = (F_FRAME_START if b == 0 else 0) | (
                 F_FRAME_END if b == B - 1 else 0
             )
+            meta[r, M_WOFF] = (f * FR + bs) // 4096  # 1024-word units
+            meta[r, M_SLOT] = b % NSLOT
             r += 1
     return meta

@@ -203,42 +203,66 @@ def _parse_stats_packed_fn(frame_size: int, seq_bound: int, B: int, level: int =
 def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
     """Packed parse+stats built on the serial Pallas match kernel
     (ops/match_kernel.py) instead of the XLA sort/gather parse. Same
-    output contract as ``_parse_stats_packed_fn`` (level-1 fast path);
-    the kernel emits per-block sequence rows + per-frame literal streams,
-    which flatten to the frame arrays via one segment-map gather and then
-    run the shared stats tail."""
+    output contract as ``_parse_stats_packed_fn`` (level-1 fast path),
+    except the per-frame literal array is BLOCK-STRIDED: block b's
+    literal bytes live at [b*BLOCK_SIZE, b*BLOCK_SIZE + litcnt_b) of the
+    frame row (the downstream consumers only ever address literals
+    block-contiguously through ``lit_lo``, so no cross-block compaction
+    gather is needed), and the stats row carries B extra ``extrep``
+    columns (blocks whose rep codes read history inherited from earlier
+    blocks — the raw-demotion cascade input for ``_plan_block``).
+
+    The kernel already emits block-clamped literal lengths, repeat-coded
+    offset values and the four per-block histograms, so the shared stats
+    tail is bypassed entirely; only the code columns for the FSE encoder
+    are recomputed here (vector searchsorted, identical formulas)."""
     jax, jnp = _jx()
     key = ("match_stats_packed", frame_size, seq_bound, B, F)
     if key in _fns:
         return _fns[key]
-    from .ops.match_kernel import get_match_kernel
+    from .codec.sequences import LL_BASE, ML_BASE
+    from .ops import match_kernel as mk
 
-    SBd = BLOCK_SIZE // 4  # >= max sequences per block (min match 5)
+    SBd = BLOCK_SIZE // 4  # max sequences per block (every hit advances >= 4)
     NRECP = F * B
-    kern = get_match_kernel(
+    kern = mk.get_match_kernel(
         BLOCK_SIZE, frame_size, SBd, NRECP, F,
         interpret=jax.default_backend() != "tpu",
     )
-    tail = _stats_tail_one_frame(seq_bound, B)
+    consts_np = mk.make_code_tables()
     BLKW = BLOCK_SIZE // 4
+    ll_base_np = LL_BASE.astype(np.int32)
+    ml_base_np = ML_BASE.astype(np.int32)
 
     def packed(data_u8, n_valid, meta):
-        # Little-endian words for the kernel's SMEM hash reads.
-        w = data_u8.reshape(F, frame_size // 4, 4).astype(jnp.int32)
-        words = (
-            w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
-            | (w[..., 3] << 24)
-        ).reshape(F * B, BLKW)
-        ll_r, ml_r, off_r, lits, meta_out = kern(meta, words, data_u8)
+        consts = jnp.asarray(consts_np)
+        ll_base = jnp.asarray(ll_base_np)
+        ml_base = jnp.asarray(ml_base_np)
+        # Little-endian words: the kernel's SMEM window + hash reads.
+        w = data_u8.reshape(-1, 4).astype(jnp.int32)
+        words = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+        lm, ofv, litw, stat = kern(consts, meta, words)
 
-        nseq_b = meta_out[: F * B, 0].reshape(F, B)
-        ovf_b = meta_out[: F * B, 2].reshape(F, B)
+        statf = stat.reshape(F, B, 512)
+        nseq_b = statf[:, :, mk.ST_NSEQ]
+        mlsum_b = statf[:, :, mk.ST_MLSUM]
+        litcnt_b = statf[:, :, mk.ST_LITCNT]
+        extrep_b = statf[:, :, mk.ST_EXTREP]
+        ovf_b = statf[:, :, mk.ST_OVERFLOW]
+        ll_h = statf[:, :, mk.ST_LLHIST : mk.ST_LLHIST + 36]
+        ml_h = statf[:, :, mk.ST_MLHIST : mk.ST_MLHIST + 53]
+        of_h = statf[:, :, mk.ST_OFHIST : mk.ST_OFHIST + 32]
+        lit_h = statf[:, :, mk.ST_LITHIST : mk.ST_LITHIST + 256]
+
         n_seq = jnp.sum(nseq_b, axis=1)
         first = jnp.cumsum(nseq_b, axis=1) - nseq_b  # exclusive starts
+        n_lit = jnp.sum(litcnt_b, axis=1)
+        over = (n_seq > seq_bound) | (jnp.sum(ovf_b, axis=1) > 0)
+        n_raw = jnp.where(over, seq_bound + 1, n_seq)
 
-        # Flatten per-block rows to per-frame (seq_bound,) arrays: the
-        # scatter-add + cumsum segment map (ties resolve to the last tied
-        # block, which is the non-empty one).
+        # Flatten per-block sequence rows to per-frame (seq_bound,)
+        # arrays: scatter-add + cumsum segment map (ties resolve to the
+        # last tied block, which is the non-empty one).
         def flat_one(first_f, n_f, fi, rows):
             counts = jnp.zeros(seq_bound, jnp.int32).at[first_f].add(
                 1, mode="drop"
@@ -254,33 +278,45 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
         flat = lambda rows: jax.vmap(
             lambda ff, nf, fi: flat_one(ff, nf, fi, rows)
         )(first, n_seq, fis)
-        lls = flat(ll_r)
-        mls = flat(ml_r)
-        offs = jnp.maximum(flat(off_r), 1)
+        lmf = flat(lm)
+        adj_ll = lmf >> 16
+        mls = lmf & 0xFFFF
+        ovs = jnp.maximum(flat(ofv), 1)
 
-        n_lit = n_valid - jnp.sum(mls, axis=1)
-        # Overflow: more sequences than the flat bound, or a block row
-        # overflowed (SBd) — the caller host-falls-back on n_raw > bound.
-        over = (n_seq > seq_bound) | (jnp.sum(ovf_b, axis=1) > 0)
-        n_raw = jnp.where(over, seq_bound + 1, n_seq)
+        # Code columns for the FSE encoder — identical formulas to
+        # _stats_tail_one_frame (and to the kernel's histogram bins).
+        of_codes = 31 - jax.lax.clz(ovs)
+        ll_codes = jnp.where(
+            adj_ll < 16,
+            adj_ll,
+            jnp.searchsorted(ll_base, adj_ll, side="right").astype(jnp.int32)
+            - 1,
+        )
+        ml_codes = jnp.where(
+            mls < 35,
+            jnp.maximum(mls - 3, 0),
+            jnp.searchsorted(ml_base, mls, side="right").astype(jnp.int32)
+            - 1,
+        )
 
-        def one(lls_f, mls_f, offs_f, n_s, lits_f, n_l, n_r, n_v):
-            (adj_ll, mls2, ovs, llc, mlc, ofc, lits2,
-             n_seq2, n_lit2, n_raw2, seq_cnt, first_idx, ml_sum, litcnt,
-             ll_h, ml_h, of_h, lit_h) = tail(
-                lls_f, mls_f, offs_f, n_s, lits_f, n_l, n_r, n_v
-            )
-            stats = jnp.concatenate([
-                jnp.stack([n_seq2, n_lit2, n_raw2]),
-                seq_cnt, first_idx, ml_sum, litcnt,
-                ll_h.reshape(-1), ml_h.reshape(-1),
-                of_h.reshape(-1), lit_h.reshape(-1),
-            ])
-            return adj_ll, mls2, ovs, llc, mlc, ofc, lits2, stats
+        # Block-strided literal rows: pure byte unpack, zero gathers.
+        lw = litw.reshape(F, B * BLKW, 1)
+        lits = (
+            (lw >> jnp.asarray([0, 8, 16, 24], jnp.int32)) & 0xFF
+        ).astype(jnp.uint8).reshape(F, frame_size)
 
-        return jax.vmap(one)(
-            lls, mls, offs, n_seq, lits, n_lit, n_raw,
-            jnp.asarray(n_valid, jnp.int32),
+        first_idx = jnp.where(nseq_b > 0, first, seq_bound)
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, seq_bound)))
+        stats = jnp.concatenate([
+            jnp.stack([n_seq, n_lit, n_raw], axis=1),
+            nseq_b, first_idx, mlsum_b, litcnt_b,
+            ll_h.reshape(F, -1), ml_h.reshape(F, -1),
+            of_h.reshape(F, -1), lit_h.reshape(F, -1),
+            extrep_b,
+        ], axis=1)
+        return (
+            pad(adj_ll), pad(mls), pad(ovs),
+            pad(ll_codes), pad(ml_codes), pad(of_codes), lits, stats,
         )
 
     _fns[key] = jax.jit(packed)
@@ -298,13 +334,18 @@ def _unpack_stats(stats_np, B):
         return v if shape is None else v.reshape((stats_np.shape[0],) + shape)
 
     head = take(3)
-    return {
+    out = {
         "n_seq": head[:, 0], "n_lit": head[:, 1], "n_raw": head[:, 2],
         "seq_cnt": take(B), "first_idx": take(B), "ml_sum": take(B),
         "litcnt": take(B),
         "ll_hist": take(B * 36, (B, 36)), "ml_hist": take(B * 53, (B, 53)),
         "of_hist": take(B * 32, (B, 32)), "lit_hist": take(B * 256, (B, 256)),
     }
+    if o < stats_np.shape[1]:
+        # Match-kernel rows append per-block extrep flags (rep history
+        # inherited across blocks — the raw-demotion cascade input).
+        out["extrep"] = take(B)
+    return out
 
 
 def _parse_stats_fn(frame_size: int, seq_bound: int, blocks_per_frame: int):
@@ -389,11 +430,18 @@ def _huf_blocks_fn(seg_bound: int, word_bound: int):
 def _host_jobs(
     F, lengths, overflow, seq_cnt, first_idx, litcnt,
     ll_hist, ml_hist, of_hist, lit_hist,
+    lit_stride=None, extrep=None,
 ):
     """Per-block host decisions from the pulled device stats: block
     descriptors, Huffman literal jobs (with trees/tables), and FSE sequence
     jobs (with chosen symbol tables). Shared by the single-chip and the
-    mesh-sharded pipelines (frame indices are local to the given stats)."""
+    mesh-sharded pipelines (frame indices are local to the given stats).
+
+    ``lit_stride``: block-strided literal rows (the match-kernel layout —
+    block b's literals start at b*lit_stride) instead of compacted streams.
+    ``extrep``: per-block flags marking rep codes that read history
+    inherited from earlier blocks (drives _plan_block's demotion cascade).
+    """
     blocks = []  # descriptors for device-encoded blocks
     for f in range(F):
         if overflow[f]:
@@ -402,11 +450,15 @@ def _host_jobs(
         lit_lo = 0
         for b in range(n_blocks_f):
             b_len = min(BLOCK_SIZE, int(lengths[f]) - b * BLOCK_SIZE)
+            if lit_stride is not None:
+                lit_lo = b * lit_stride
             desc = {
                 "frame": f, "block": b, "len": b_len,
                 "nseq": int(seq_cnt[f, b]), "first": int(first_idx[f, b]),
                 "lit_lo": lit_lo, "nlit": int(litcnt[f, b]),
             }
+            if extrep is not None and extrep[f, b]:
+                desc["ext_rep"] = True
             lit_lo += int(litcnt[f, b])
             blocks.append(desc)
 
@@ -770,7 +822,7 @@ def tpu_compress_archive(
         if use_match_kernel:
             from .ops.match_kernel import build_records as _mk_records
 
-            meta_mk = _mk_records(F, B, BLOCK_SIZE, lengths)
+            meta_mk = _mk_records(F, B, BLOCK_SIZE, frame_size, lengths)
             parse = _match_stats_packed_fn(frame_size, seq_bound, B, F)
             (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d) = (
                 parse(frames_dev, lengths_dev, jnp.asarray(meta_mk))
@@ -805,6 +857,8 @@ def tpu_compress_archive(
     blocks, huf_jobs, fse_jobs = _host_jobs(
         F, lengths, overflow, seq_cnt, first_idx, litcnt,
         ll_hist, ml_hist, of_hist, lit_hist,
+        lit_stride=BLOCK_SIZE if use_match_kernel else None,
+        extrep=stats.get("extrep"),
     )
     _t_host.__exit__()
 
@@ -945,9 +999,15 @@ def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits, emit_state=None,
     raw_block_off = b * BLOCK_SIZE
     nlit = d["nlit"]
 
+    # Rep-history cascade (match-kernel parses): once a sequence-bearing
+    # block of this frame was demoted to raw, the decoder's repeat-offset
+    # history diverges from what the parse assumed, so any later block
+    # whose rep codes read INHERITED history (ext_rep) must demote too.
+    rep_ok = not (d.get("ext_rep") and emit_state.get("rep_broken"))
+
     lit_plan = None  # (sec_len, emit) where emit appends segments
     body_len = None
-    if d["nseq"] > 0 and d.get("slice_shift", 0) == 0:
+    if d["nseq"] > 0 and d.get("slice_shift", 0) == 0 and rep_ok:
         # Literals section layout.
         mode = d["lit_mode"]
         treeless = bool(d.get("treeless"))
@@ -1009,6 +1069,8 @@ def _plan_block(plan, d, f, b, last, fdata, fse_bits, huf_bits, emit_state=None,
 
     if body_len is None or body_len >= blen:
         # Raw / RLE fallback block.
+        if d["nseq"] > 0:
+            emit_state["rep_broken"] = True
         first = fdata[raw_block_off : raw_block_off + 1]
         if blen > 0 and fdata.count(first, raw_block_off, raw_block_off + blen) == blen:
             plan.add_static(
