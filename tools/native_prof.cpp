@@ -77,6 +77,7 @@ int main(int argc, char** argv) {
           "%.2f seqs/KiB, %.1f%% literal bytes\n",
           reps, 100 * c[0] / tot, 100 * c[1] / tot, 100 * c[2] / tot,
           c[3] / ((double)n * reps / 1024), 100.0 * c[4] / ((double)n * reps));
+  fprintf(stderr, "  probes %.2fM inserts %.2fM per rep\n", c[5] / 1e6 / reps, c[6] / 1e6 / reps);
 #endif
   return 0;
 }

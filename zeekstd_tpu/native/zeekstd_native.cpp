@@ -850,7 +850,12 @@ static void ensure_defaults() {
 
 // ------------------------------------------------------------- encoder ----
 
-struct Seq { u32 ll, ml, ov; };  // ov = offset_value (repcodes 1..3 or off+3)
+// ov = offset_value (repcodes 1..3 or off+3); llc/mlc/ofc are the FSE
+// symbol codes, filled at store time so the emit path never recomputes.
+struct Seq { u32 ll, ml, ov; u8 llc, mlc, ofc, pad; };
+static inline Seq mk_seq(u32 ll, u32 ml, u32 ov) {
+  return {ll, ml, ov, (u8)ll_code(ll), (u8)ml_code(ml), (u8)highbit(ov), 0};
+}
 
 // Greedy fast matcher: 6-byte-hash table (depth 1) + rep check + backward
 // extension (the native twin of codec/match.py's fast levels).
@@ -1047,6 +1052,14 @@ static int bt_insert_search(const u8* base, const u8* ip, const u8* iend,
                             Matcher& M, int nb_compares, OptCand* out,
                             bool collect, u32 rec_cap);
 
+#ifdef ZN_ENCPROF
+#include <x86intrin.h>
+static thread_local unsigned long long zn_encprof[8];
+extern "C" void zn_encprof_get(unsigned long long* out8) {
+  for (int i = 0; i < 8; i++) { out8[i] = zn_encprof[i]; zn_encprof[i] = 0; }
+}
+#endif
+
 // Experiment knobs for the L1 loop (mirrors the Pallas match kernel's
 // design space; used by tools/native_prof.cpp grid searches).
 static int l1_hb() {
@@ -1069,6 +1082,14 @@ static int l1_stride() {
   static int v = [] { const char* e = getenv("ZN_L1_STRIDE"); return e ? atoi(e) : 2; }();
   return v;
 }
+static u64 l1_hmask() {
+  static u64 v = [] {
+    const char* e = getenv("ZN_L1_MLS");
+    int mls = e ? atoi(e) : 6;
+    return (u64)-1 >> (64 - 8 * mls);
+  }();
+  return v;
+}
 static const int L1_HASHLOG = 17;
 static inline u32 l1_hash6(const u8* p) {
   u64 v = read64(p) & 0xFFFFFFFFFFFFULL;
@@ -1079,6 +1100,7 @@ static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
                            std::vector<u8>& lits) {
   const int HB = l1_hb(), LAZY = l1_lazy(), P4 = l1_p4(), STRIDE = l1_stride();
   const u32 wcap = l1_winlog() >= 30 ? 0x7FFFFFFFu : (1u << l1_winlog());
+  const u64 HMASK = l1_hmask();
   const u8* base = src;
   const u8* ip = src + pos;
   const u8* iend = ip + len;
@@ -1097,10 +1119,12 @@ static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
   // repcode-favoring rule), then the 6-byte table, then an optional
   // 4-byte near table (the kernel design space: ZN_L1_HB/P4/LAZY/...).
   auto probe = [&](const u8* p, u32 r1, u32* off_out) -> u32 {
+#ifdef ZN_ENCPROF
+    zn_encprof[5]++;
+#endif
     size_t cur = (size_t)(p - base);
     u64 w8 = read64(p);
-    u32 h = (u32)(((w8 & 0xFFFFFFFFFFFFULL) * 0xCF1BBCDCB7A56463ULL) >>
-                  (64 - HB));
+    u32 h = (u32)(((w8 & HMASK) * 0xCF1BBCDCB7A56463ULL) >> (64 - HB));
     i32 cand = M.table[h];
     M.table[h] = (i32)cur;
     if (cur >= r1 && (u32)w8 == read32(p - r1)) {
@@ -1180,16 +1204,33 @@ static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
       ov = best_off + 3;
       reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = best_off;
     }
-    seqs.push_back({ll, best_len, ov});
+    seqs.push_back(mk_seq(ll, best_len, ov));
     const u8* mend = ip + best_len;
+    // The next probe position is known now: prefetch its hash-table row
+    // and rep-check byte so their ~L2/L3 latency overlaps the insert
+    // loop below (the probe's dependent-load chain dominates parse time).
+    if (mend + 8 <= iend) {
+      u64 nw = read64(mend);
+      __builtin_prefetch(
+          &M.table[(u32)(((nw & HMASK) * 0xCF1BBCDCB7A56463ULL) >> (64 - HB))],
+          1);
+      __builtin_prefetch(mend - reps[0], 0);
+    }
     // Strided in-match insertion: dense (stride-1) insertion costs a
     // hash+table write per covered byte (~3x the probe count); stride 2
     // keeps nearly all of its ratio at half the cost.
     const u8* stop = mend < search_end ? mend : search_end;
+    // Long-match interiors are redundant content (the source interval
+    // already populated the table); cap inserts per match so they cover
+    // short matches fully but stop refreshing deep interiors.
+    if (stop > ip + 1 + 2 * STRIDE * 4) stop = ip + 1 + 2 * STRIDE * 4;
     for (const u8* q = ip + 1; q < stop; q += STRIDE) {
+#ifdef ZN_ENCPROF
+      zn_encprof[6]++;
+#endif
       u64 qw = read64(q);
-      M.table[(u32)(((qw & 0xFFFFFFFFFFFFULL) * 0xCF1BBCDCB7A56463ULL) >>
-                    (64 - HB))] = (i32)(q - base);
+      M.table[(u32)(((qw & HMASK) * 0xCF1BBCDCB7A56463ULL) >> (64 - HB))] =
+          (i32)(q - base);
       if (P4) M.table4[((u32)qw * 2654435761u) >> (32 - P4)] = (i32)(q - base);
     }
     ip = mend;
@@ -1265,7 +1306,7 @@ static void parse_block(const u8* src, size_t pos, size_t len, Matcher& M,
       else if (best_off + 1 == reps[0] && best_off != 0) { ov = 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
       else { ov = best_off + 3; reps[2] = r2; reps[1] = reps[0]; reps[0] = best_off; }
     }
-    seqs.push_back({ll, best_len, ov});
+    seqs.push_back(mk_seq(ll, best_len, ov));
     // index interior sparsely
     const u8* mend = ip + best_len;
     const u8* stop = mend < search_end ? mend : search_end;
@@ -1308,12 +1349,10 @@ struct CatChoice {
   std::vector<u8> desc;
 };
 
-static void choose_table(const int* codes, size_t n, int max_code,
+static void choose_table(const u32* hist, size_t n, int max_code,
                          const i16* def_norm, int def_n, int def_log,
                          const FseEncTable* def_table, int max_log,
                          CatChoice* out) {
-  u32 hist[64] = {0};
-  for (size_t i = 0; i < n; i++) hist[codes[i]]++;
   int distinct = 0, only = 0, max_present = 0;
   for (int s = 0; s <= max_code; s++)
     if (hist[s]) { distinct++; only = s; max_present = s; }
@@ -1448,17 +1487,16 @@ static void write_sequences_section(std::vector<u8>& out,
   }
   if (n == 0) return;
 
-  static thread_local std::vector<int> llc, mlc, ofc;
-  llc.resize(n); mlc.resize(n); ofc.resize(n);
+  u32 llh[64] = {0}, mlh[64] = {0}, ofh[64] = {0};
   for (size_t i = 0; i < n; i++) {
-    llc[i] = ll_code(seqs[i].ll);
-    mlc[i] = ml_code(seqs[i].ml);
-    ofc[i] = highbit(seqs[i].ov);
+    llh[seqs[i].llc]++;
+    mlh[seqs[i].mlc]++;
+    ofh[seqs[i].ofc]++;
   }
   CatChoice ll, of, ml;
-  choose_table(llc.data(), n, 35, LL_DEF_NORM, 36, 6, &g_ll_def_enc, 9, &ll);
-  choose_table(ofc.data(), n, 31, OF_DEF_NORM, 29, 5, &g_of_def_enc, 8, &of);
-  choose_table(mlc.data(), n, 52, ML_DEF_NORM, 53, 6, &g_ml_def_enc, 9, &ml);
+  choose_table(llh, n, 35, LL_DEF_NORM, 36, 6, &g_ll_def_enc, 9, &ll);
+  choose_table(ofh, n, 31, OF_DEF_NORM, 29, 5, &g_of_def_enc, 8, &of);
+  choose_table(mlh, n, 52, ML_DEF_NORM, 53, 6, &g_ml_def_enc, 9, &ml);
   out.push_back((u8)((ll.mode == 2 ? 2 : ll.mode == 1 ? 1 : 0) << 6 |
                      (of.mode == 2 ? 2 : of.mode == 1 ? 1 : 0) << 4 |
                      (ml.mode == 2 ? 2 : ml.mode == 1 ? 1 : 0) << 2));
@@ -1475,27 +1513,40 @@ static void write_sequences_section(std::vector<u8>& out,
   RawBitWriter bw(bwbuf.data());
   size_t last = n - 1;
   FseEncState mls_, ofs_, lls_;
-  mls_.init(ml.table, mlc[last]);
-  ofs_.init(of.table, ofc[last]);
-  lls_.init(ll.table, llc[last]);
+  mls_.init(ml.table, seqs[last].mlc);
+  ofs_.init(of.table, seqs[last].ofc);
+  lls_.init(ll.table, seqs[last].llc);
   auto add_extras = [&](size_t i) {
     // write order ll, ml, of fused into one container push
-    int lb = LL_BITS[llc[i]], mb = ML_BITS[mlc[i]], ob = ofc[i];
-    u64 v = (u64)(seqs[i].ll - LL_BASE[llc[i]]);
-    v |= (u64)(seqs[i].ml - ML_BASE[mlc[i]]) << lb;
+    int lb = LL_BITS[seqs[i].llc], mb = ML_BITS[seqs[i].mlc], ob = seqs[i].ofc;
+    u64 v = (u64)(seqs[i].ll - LL_BASE[seqs[i].llc]);
+    v |= (u64)(seqs[i].ml - ML_BASE[seqs[i].mlc]) << lb;
     v |= (u64)(seqs[i].ov - (1u << ob)) << (lb + mb);
     bw.add_wide(v, lb + mb + ob);
   };
   add_extras(last);
   for (size_t i = n - 1; i-- > 0;) {
-    // Fuse the three interleaved state writes (<= 26 bits total) into one
-    // wide write: read order is of, ml, ll so of lands in the low bits.
+    // Fuse the three interleaved state writes (<= 26 bits) and, when the
+    // sequence's extra bits fit, the extras too — one wide write per
+    // sequence for the common case.
+    const Seq& s = seqs[i];
     int ob, mb, lb;
-    u64 ofb = ofs_.step(ofc[i], &ob);
-    u64 mlb = mls_.step(mlc[i], &mb);
-    u64 llb = lls_.step(llc[i], &lb);
-    bw.add_wide(ofb | (mlb << ob) | (llb << (ob + mb)), ob + mb + lb);
-    add_extras(i);
+    u64 ofb = ofs_.step(s.ofc, &ob);
+    u64 mlb = mls_.step(s.mlc, &mb);
+    u64 llb = lls_.step(s.llc, &lb);
+    u64 st = ofb | (mlb << ob) | (llb << (ob + mb));
+    int sb = ob + mb + lb;
+    int elb = LL_BITS[s.llc], emb = ML_BITS[s.mlc], eob = s.ofc;
+    int eb = elb + emb + eob;
+    if (sb + eb <= 63) {
+      u64 ev = (u64)(s.ll - LL_BASE[s.llc]);
+      ev |= (u64)(s.ml - ML_BASE[s.mlc]) << elb;
+      ev |= (u64)(s.ov - (1u << eob)) << (elb + emb);
+      bw.add_wide(st | (ev << sb), sb + eb);
+    } else {
+      bw.add_wide(st, sb);
+      add_extras(i);
+    }
   }
   int stb;
   u64 stv = mls_.flush_bits(&stb);
@@ -1534,14 +1585,6 @@ static void write_frame_header(std::vector<u8>& out, u64 content_size,
   out.push_back((u8)(((exponent - 10) << 3) | mantissa));
   for (int i = 0; i < fcs_bytes; i++) out.push_back((u8)(fcs_val >> (8 * i)));
 }
-
-#ifdef ZN_ENCPROF
-#include <x86intrin.h>
-static thread_local unsigned long long zn_encprof[8];
-extern "C" void zn_encprof_get(unsigned long long* out8) {
-  for (int i = 0; i < 8; i++) { out8[i] = zn_encprof[i]; zn_encprof[i] = 0; }
-}
-#endif
 
 static const size_t BLOCK_MAX = 1 << 17;
 
@@ -2748,7 +2791,7 @@ static void parse_block_opt(const u8* src, size_t pos, size_t len, Matcher& M,
       else if (o + 1 == r1 && o != 0) { ov = 3; reps[2] = r2; reps[1] = r1; reps[0] = o; }
       else { ov = o + 3; reps[2] = r2; reps[1] = r1; reps[0] = o; }
     }
-    seqs.push_back({ll, l, ov});
+    seqs.push_back(mk_seq(ll, l, ov));
 #ifdef ZN_DEBUG_VERIFY
     {
       const u8* mstart = bp + cursor;
