@@ -30,7 +30,7 @@ def bench_match(corpus, fs=1 << 20):
 
     from zeekstd_tpu.tpu_archive import BLOCK_SIZE, _match_stats_packed_fn
     from zeekstd_tpu.ops.match_kernel import (
-        ST_MLSUM, ST_NSEQ, build_records, get_match_kernel, make_code_tables,
+        ST_MLSUM, ST_NSEQ, bucket_nrecp, build_records, get_match_kernel,
     )
 
     n = len(corpus)
@@ -44,16 +44,18 @@ def bench_match(corpus, fs=1 << 20):
         frames[i, : len(c)] = np.frombuffer(c, np.uint8)
         lengths[i] = len(c)
     frames_dev = jnp.asarray(frames)
-    meta = build_records(F, B, BLOCK_SIZE, fs, lengths)
+    NRECP = bucket_nrecp(F * B)
+    meta = build_records(F, B, BLOCK_SIZE, fs, lengths, n_pad=NRECP)
     meta_dev = jnp.asarray(meta)
-    consts = jnp.asarray(make_code_tables())
 
     SBd = BLOCK_SIZE // 4
-    kern = get_match_kernel(BLOCK_SIZE, fs, SBd, F * B, F)
+    kern = get_match_kernel(BLOCK_SIZE, SBd, NRECP)
+    BLKW = BLOCK_SIZE // 4
 
     def words_of(frames_dev):
         w = frames_dev.reshape(-1, 4).astype(jnp.int32)
-        return w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+        words = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+        return jnp.pad(words, (0, NRECP * BLKW - words.shape[0]))
 
     words_jit = jax.jit(words_of)
     words = jax.block_until_ready(words_jit(frames_dev))
@@ -61,7 +63,7 @@ def bench_match(corpus, fs=1 << 20):
     # kernel only
     for tag in ("cold", "warm", "warm", "warm"):
         t = time.perf_counter()
-        out = kern(consts, meta_dev, words)
+        out = kern(meta_dev, words)
         _fence(out)
         dt = time.perf_counter() - t
         print(f"match kernel ({tag}): {dt:.3f}s = {n/(1<<20)/dt:.1f} MiB/s", flush=True)

@@ -931,11 +931,32 @@ def parallel_decompress(
     from ..errors import corruption_detected
     from ..tpu_codec import tpu_decompress_frame
 
+    redo_parts = None
+    redo_slots = sorted(redo)
+    if redo_slots and jax.default_backend() == "tpu":
+        # Batched fused-kernel redo: ONE device dispatch covers every
+        # rep-history/unconverged frame instead of a host loop of
+        # per-frame decodes (round-3 verdict: the redo path must not
+        # serialize foreign archives through the host).
+        from ..tpu_archive import _fused_decode_frames
+
+        spans = [
+            (seek_table.frame_start_comp(frame_ids[s]),
+             seek_table.frame_end_comp(frame_ids[s]))
+            for s in redo_slots
+        ]
+        parts = _fused_decode_frames(archive, spans)
+        if parts is not NotImplemented:
+            redo_parts = dict(zip(redo_slots, parts))
+
     for slot, fid in enumerate(frame_ids):
         if slot in redo:
-            s = seek_table.frame_start_comp(fid)
-            e = seek_table.frame_end_comp(fid)
-            results[fid], _ = tpu_decompress_frame(archive[s:e])
+            if redo_parts is not None:
+                results[fid] = redo_parts[slot]
+            else:
+                s = seek_table.frame_start_comp(fid)
+                e = seek_table.frame_end_comp(fid)
+                results[fid], _ = tpu_decompress_frame(archive[s:e])
             continue
         expect = out_sizes[slot]
         if int(totals_np[slot]) != expect:

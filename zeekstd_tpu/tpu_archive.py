@@ -224,34 +224,32 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
     from .ops import match_kernel as mk
 
     SBd = BLOCK_SIZE // 4  # max sequences per block (every hit advances >= 4)
-    NRECP = F * B
+    NRECP = mk.bucket_nrecp(F * B)
     kern = mk.get_match_kernel(
-        BLOCK_SIZE, frame_size, SBd, NRECP, F,
+        BLOCK_SIZE, SBd, NRECP,
         interpret=jax.default_backend() != "tpu",
     )
-    consts_np = mk.make_code_tables()
     BLKW = BLOCK_SIZE // 4
     ll_base_np = LL_BASE.astype(np.int32)
     ml_base_np = ML_BASE.astype(np.int32)
 
     def packed(data_u8, n_valid, meta):
-        consts = jnp.asarray(consts_np)
         ll_base = jnp.asarray(ll_base_np)
         ml_base = jnp.asarray(ml_base_np)
         # Little-endian words: the kernel's SMEM window + hash reads.
+        # Padded to the NRECP bucket so the kernel shape is input-size
+        # independent (one Mosaic compile per bucket).
         w = data_u8.reshape(-1, 4).astype(jnp.int32)
         words = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
-        lm, ofv, litw, stat = kern(consts, meta, words)
+        words = jnp.pad(words, (0, NRECP * BLKW - words.shape[0]))
+        lm, ofv, litw, stat = kern(meta, words)
 
-        statf = stat.reshape(F, B, 512)
+        statf = stat[: F * B].reshape(F, B, 512)
         nseq_b = statf[:, :, mk.ST_NSEQ]
         mlsum_b = statf[:, :, mk.ST_MLSUM]
         litcnt_b = statf[:, :, mk.ST_LITCNT]
         extrep_b = statf[:, :, mk.ST_EXTREP]
         ovf_b = statf[:, :, mk.ST_OVERFLOW]
-        ll_h = statf[:, :, mk.ST_LLHIST : mk.ST_LLHIST + 36]
-        ml_h = statf[:, :, mk.ST_MLHIST : mk.ST_MLHIST + 53]
-        of_h = statf[:, :, mk.ST_OFHIST : mk.ST_OFHIST + 32]
         lit_h = statf[:, :, mk.ST_LITHIST : mk.ST_LITHIST + 256]
 
         n_seq = jnp.sum(nseq_b, axis=1)
@@ -260,15 +258,19 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
         over = (n_seq > seq_bound) | (jnp.sum(ovf_b, axis=1) > 0)
         n_raw = jnp.where(over, seq_bound + 1, n_seq)
 
-        # Flatten per-block sequence rows to per-frame (seq_bound,)
-        # arrays: scatter-add + cumsum segment map (ties resolve to the
-        # last tied block, which is the non-empty one).
-        def flat_one(first_f, n_f, fi, rows):
+        # Per-frame segment map (which block owns flat sequence j) +
+        # flatten of the per-block rows: scatter-add + cumsum (ties
+        # resolve to the last tied block, which is the non-empty one).
+        def seg_one(first_f):
             counts = jnp.zeros(seq_bound, jnp.int32).at[first_f].add(
                 1, mode="drop"
             )
-            seg = jnp.clip(jnp.cumsum(counts) - 1, 0, B - 1)
-            j = jnp.arange(seq_bound, dtype=jnp.int32)
+            return jnp.clip(jnp.cumsum(counts) - 1, 0, B - 1)
+
+        segs = jax.vmap(seg_one)(first)  # (F, seq_bound)
+        j = jnp.arange(seq_bound, dtype=jnp.int32)
+
+        def flat_one(first_f, n_f, fi, seg, rows):
             src = (fi * B + seg) * SBd + (j - first_f[seg])
             src = jnp.clip(src, 0, rows.shape[0] * rows.shape[1] - 1)
             v = rows.reshape(-1)[src]
@@ -276,15 +278,15 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
 
         fis = jnp.arange(F, dtype=jnp.int32)
         flat = lambda rows: jax.vmap(
-            lambda ff, nf, fi: flat_one(ff, nf, fi, rows)
-        )(first, n_seq, fis)
+            lambda ff, nf, fi, sg: flat_one(ff, nf, fi, sg, rows)
+        )(first, n_seq, fis, segs)
         lmf = flat(lm)
         adj_ll = lmf >> 16
         mls = lmf & 0xFFFF
         ovs = jnp.maximum(flat(ofv), 1)
 
         # Code columns for the FSE encoder — identical formulas to
-        # _stats_tail_one_frame (and to the kernel's histogram bins).
+        # _stats_tail_one_frame.
         of_codes = 31 - jax.lax.clz(ovs)
         ll_codes = jnp.where(
             adj_ll < 16,
@@ -299,8 +301,31 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
             - 1,
         )
 
+        # Per-block code histograms from the flat codes + segment map
+        # (v4 kernels no longer histogram in the scalar loop).
+        valid = j[None, :] < n_seq[:, None]
+
+        def hist_one(codes_f, seg, valid_f, nbins):
+            tgt = jnp.where(valid_f, seg * nbins + codes_f, B * nbins)
+            return (
+                jnp.zeros(B * nbins, jnp.int32)
+                .at[tgt]
+                .add(1, mode="drop")
+                .reshape(B, nbins)
+            )
+
+        ll_h = jax.vmap(lambda c, s, v: hist_one(c, s, v, 36))(
+            ll_codes, segs, valid
+        )
+        ml_h = jax.vmap(lambda c, s, v: hist_one(c, s, v, 53))(
+            ml_codes, segs, valid
+        )
+        of_h = jax.vmap(lambda c, s, v: hist_one(c, s, v, 32))(
+            of_codes, segs, valid
+        )
+
         # Block-strided literal rows: pure byte unpack, zero gathers.
-        lw = litw.reshape(F, B * BLKW, 1)
+        lw = litw[: F * B].reshape(F, B * BLKW, 1)
         lits = (
             (lw >> jnp.asarray([0, 8, 16, 24], jnp.int32)) & 0xFF
         ).astype(jnp.uint8).reshape(F, frame_size)
@@ -815,14 +840,18 @@ def tpu_compress_archive(
         use_match_kernel = (
             level == 1
             and frame_size % BLOCK_SIZE == 0
-            and frame_size <= (1 << 20)
+            and frame_size <= (8 << 20)
+            and F * frame_size < (1 << 31)
             and plen == 0
             and match_mode == "kernel"
         )
         if use_match_kernel:
-            from .ops.match_kernel import build_records as _mk_records
+            from .ops import match_kernel as _mk
 
-            meta_mk = _mk_records(F, B, BLOCK_SIZE, frame_size, lengths)
+            meta_mk = _mk.build_records(
+                F, B, BLOCK_SIZE, frame_size, lengths,
+                n_pad=_mk.bucket_nrecp(F * B),
+            )
             parse = _match_stats_packed_fn(frame_size, seq_bound, B, F)
             (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d) = (
                 parse(frames_dev, lengths_dev, jnp.asarray(meta_mk))
@@ -2030,14 +2059,51 @@ def _fused_exec_fn(WB, LITB, OUTB, NRECP, F, LROWS, words_shape, tab_shape,
     return _fns[key]
 
 
+def _fused_decode_frames(blob, spans, verify_checksum=True):
+    """Batched fused-kernel decode of arbitrary frame spans [(start,
+    end), ...] of ``blob`` — ONE kernel dispatch for all of them (the
+    sharded pipeline's redo path). Returns list[bytes] or NotImplemented
+    on guard failure."""
+    from .tpu_codec import _plan_frame
+
+    plans = []
+    for s, _e in spans:
+        hdr, plan, fpos = _plan_frame(blob, s)
+        plans.append((hdr, plan, fpos))
+    stream_list = []
+    seq_blocks = []
+    frame_rows = []
+    for _, plan, _ in plans:
+        rows = []
+        for kind, *args in plan:
+            if kind == "cmp" and "streams" in args[0]:
+                stream_list.extend(args[0]["streams"])
+            if kind == "cmp" and args[0].get("nseq", 0) > 0:
+                rows.append(len(seq_blocks))
+                seq_blocks.append(args[0])
+        frame_rows.append(rows)
+    dec_streams, huf_out_bound = _huf_batch_dev(stream_list)
+    return _fused_exec_dispatch(
+        blob, plans, frame_rows, seq_blocks,
+        dec_streams, huf_out_bound, None, verify_checksum, False,
+        return_parts=True,
+    )
+
+
 def _fused_exec_dispatch(
     blob, plans, frame_rows, seq_blocks,
     dec_streams, huf_out_bound, seek_table,
     verify_checksum, return_device,
+    prefixes=None, return_parts=False,
 ):
     """Decode every planned frame through the fused FSE+exec kernel —
     the FSE batch dispatch is skipped entirely. NotImplemented on guard
-    failure (counted)."""
+    failure (counted).
+
+    ``prefixes``: optional per-frame ref_prefix bytes (DCtx::ref_prefix,
+    reference lib/src/decode.rs:212-214) — each rides as a leading
+    pseudo literal run sliced off the output; incompatible with
+    return_device."""
     jax, jnp = _jx()
     from .errors import checksum_wrong, corruption_detected
     from .xxhash64 import XXH64
@@ -2045,6 +2111,14 @@ def _fused_exec_dispatch(
     from .ops import decode_kernel as dk
 
     F = len(plans)
+    plens = [len(p) if p else 0 for p in prefixes] if prefixes else [0] * F
+    if any(plens):
+        if return_device:
+            return NotImplemented
+        if max(plens) > SERIAL_LITB:
+            _serial_fallbacks["count"] += 1
+            _serial_fallbacks["reason"] = "prefix over literal budget"
+            return NotImplemented
     bounds = []
     for fi, (hdr, plan, _) in enumerate(plans):
         if seek_table is not None:
@@ -2053,7 +2127,7 @@ def _fused_exec_dispatch(
             b = hdr.content_size
         else:
             b = len(plan) * ZSTD_BLOCK_SIZE_MAX
-        bounds.append(b)
+        bounds.append(b + plens[fi])
     max_bound = max(bounds)
     if max_bound > SERIAL_OUTB_CAP:
         _serial_fallbacks["count"] += 1
@@ -2084,6 +2158,12 @@ def _fused_exec_dispatch(
         for fi, (hdr, plan, _) in enumerate(plans):
             rows = list(frame_rows[fi])
             blocks = []
+            if plens[fi]:
+                # ref_prefix as a leading pseudo literal run: match
+                # offsets reach into it as ordinary output history.
+                lit_segs[fi].append((len(static_lits), plens[fi], True))
+                static_lits += prefixes[fi]
+                blocks.append(("lit", plens[fi]))
             for kind, *args in plan:
                 if kind == "raw":
                     data_b = args[0]
@@ -2162,20 +2242,27 @@ def _fused_exec_dispatch(
                 off += ln
 
     with phase_timer("dec.fused_exec") as _pt:
+        # Frame-count bucketing: every other kernel dimension is already
+        # a power-of-two bucket, so padding F keeps the Mosaic compile
+        # key input-size independent (padded frames own no records).
+        F_pad = 1 << max((F - 1).bit_length(), 2)
+        pad_f = ((0, F_pad - F), (0, 0))
         fn = _fused_exec_fn(
-            word_bound, LITB, OUTB, meta.shape[0], F, LROWS,
+            word_bound, LITB, OUTB, meta.shape[0], F_pad, LROWS,
             tuple(words.shape), tuple(packed.shape), sp, SEGL,
         )
         # The kernel reads words as int32 scalars (logical shifts).
         out_dev, meta_out = fn(
             jnp.asarray(dk.make_consts()), jnp.asarray(meta),
             jnp.asarray(words.view(np.int32)), jnp.asarray(packed),
-            jnp.asarray(lit_dest), jnp.asarray(lit_base),
-            jnp.asarray(nlit_f), jnp.asarray(static_np), dec_streams,
+            jnp.asarray(np.pad(lit_dest, pad_f)),
+            jnp.asarray(np.pad(lit_base, pad_f)),
+            jnp.asarray(np.pad(nlit_f, (0, F_pad - F))),
+            jnp.asarray(static_np), dec_streams,
         )
         _pt.fence(out_dev)
 
-    meta_np = np.asarray(meta_out)
+    meta_np = np.asarray(meta_out)[:F]
     totals = meta_np[:, 0]
     bad = meta_np[:, 1]
     litc = meta_np[:, 2]
@@ -2186,7 +2273,9 @@ def _fused_exec_dispatch(
             raise _cd("match offset beyond window or literal overrun")
         if litc[fi] != nlit_f[fi]:
             raise _cd("literal budget mismatch")
-        if hdr.content_size is not None and totals[fi] != hdr.content_size:
+        if hdr.content_size is not None and (
+            totals[fi] - plens[fi] != hdr.content_size
+        ):
             raise _cd("frame content size mismatch")
         if seek_table is not None and totals[fi] != bounds[fi]:
             raise _cd("frame size disagrees with seek table")
@@ -2198,7 +2287,7 @@ def _fused_exec_dispatch(
         out = np.asarray(out_dev)
         parts = []
         for fi, (hdr, _p, cpos) in enumerate(plans):
-            result = out[fi, : int(totals[fi])].tobytes()
+            result = out[fi, plens[fi] : int(totals[fi])].tobytes()
             if hdr.has_checksum and verify_checksum:
                 stored = int.from_bytes(blob[cpos : cpos + 4], "little")
                 h = XXH64(0)
@@ -2206,4 +2295,4 @@ def _fused_exec_dispatch(
                 if (h.digest() & 0xFFFF_FFFF) != stored:
                     raise checksum_wrong("content checksum mismatch")
             parts.append(result)
-    return b"".join(parts)
+    return parts if return_parts else b"".join(parts)

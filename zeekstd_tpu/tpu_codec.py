@@ -810,6 +810,37 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
 
     hdr, plan, fpos = _plan_frame(frame, pos)
 
+    # Fused serial kernel path (the archive decoder's default on TPU):
+    # FSE decode + exact repeat resolution + sequence execution in one
+    # grid — no host rep-carry, no pointer-doubling gathers. Falls
+    # through to the classic path on guard failure.
+    import os
+
+    exec_mode = os.environ.get("ZEEKSTD_TPU_EXEC", "")
+    if exec_mode == "fused" or (
+        exec_mode not in ("serial", "doubling")
+        and jax.default_backend() == "tpu"
+    ):
+        from .tpu_archive import _fused_exec_dispatch, _huf_batch_dev
+
+        stream_list = []
+        rows = []
+        seq_blocks_f = []
+        for kind, *args in plan:
+            if kind == "cmp" and "streams" in args[0]:
+                stream_list.extend(args[0]["streams"])
+            if kind == "cmp" and args[0].get("nseq", 0) > 0:
+                rows.append(len(seq_blocks_f))
+                seq_blocks_f.append(args[0])
+        dec_streams, huf_out_bound = _huf_batch_dev(stream_list)
+        res = _fused_exec_dispatch(
+            frame, [(hdr, plan, fpos)], [rows], seq_blocks_f,
+            dec_streams, huf_out_bound, None, verify_checksum, False,
+            prefixes=[prefix] if prefix else None,
+        )
+        if res is not NotImplemented:
+            return res, fpos + (4 if hdr.has_checksum else 0)
+
     stream_list = []
     for kind, *args in plan:
         if kind == "cmp" and "streams" in args[0]:
