@@ -493,3 +493,47 @@ def test_binary_patch_cycle_tpu_backend():
             zstd_decompress(archive[s:e], st.frame_size_decomp(i), prefix=old)
         )
     assert b"".join(parts) == new
+
+
+def test_compressed_policy_native_stream():
+    """The compressed frame-size policy runs on the native streaming
+    context (reference FrameSizePolicy::Compressed semantics at block
+    granularity, lib/src/encode.rs:15-39): every non-final frame's
+    compressed size reaches the threshold, frames carry no content size
+    (unknown at the cut), and libzstd decodes each frame bit-exactly."""
+    from zeekstd_tpu.native import loader
+    from .oracle import zstd_decompress
+
+    if not loader.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    data = (INPUT * 3)[: 3 * len(INPUT)]
+    opts = (
+        EncodeOptions()
+        .with_frame_size_policy(FrameSizePolicy.compressed(3000))
+        .with_compression_level(2)
+    )
+    enc = RawEncoder(opts)
+    assert enc._use_native(), "compressed policy must ride the native path"
+    blob = enc.compress(data) + enc.end_frame()
+    st = enc.into_seek_table()
+    assert st.num_frames >= 3
+    sizes = [st.frame_size_comp(i) for i in range(st.num_frames)]
+    assert all(s >= 3000 for s in sizes[:-1])
+    # Frame headers: FCS absent (flag 0), window descriptor present.
+    start = st.frame_start_comp(0)
+    fhd = blob[start + 4]
+    assert fhd >> 6 == 0 and not (fhd & 0x20)
+    # Oracle: libzstd decodes every frame; concatenation round-trips.
+    parts = []
+    for i in range(st.num_frames):
+        parts.append(
+            zstd_decompress(
+                blob[st.frame_start_comp(i) : st.frame_end_comp(i)],
+                st.frame_size_decomp(i),
+            )
+        )
+    assert b"".join(parts) == data
+    dec = DecodeOptions(BytesWrapper(blob)).with_seek_table(st).into_decoder()
+    assert dec.read(-1) == data

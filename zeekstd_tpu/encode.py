@@ -177,7 +177,14 @@ class RawEncoder:
             return False
         pol = self.options.frame_size_policy
         if pol.kind == "compressed":
-            return False  # needs progressive compressed-size feedback
+            # Served by the native streaming context (one compressed
+            # block per step) unless a prefix or explicit window is in
+            # play — those stay on the Python frame encoder.
+            if (self._prefix or b"") or self.cctx.window_log > 0:
+                return False
+            from .native import loader
+
+            return loader.available()
         if self.options.backend == "native":
             return True
         # auto: the native runtime serves every level (greedy, lazy, and
@@ -192,12 +199,23 @@ class RawEncoder:
         prefix = self._prefix if self._prefix is not None else b""
         pol = self.options.frame_size_policy
         if self._use_native():
-            from .native.frame import NativeFrameEncoder
+            if pol.kind == "compressed":
+                from .native.frame import NativeStreamFrameEncoder
 
-            self._frame = NativeFrameEncoder(
-                checksum=self.cctx.checksum, prefix=prefix,
-                level=self.cctx.level, ldm=self.cctx.ldm,
-            )
+                # Input-step granularity scales with the threshold so the
+                # cut lands within ~a quarter threshold of it (the Python
+                # frame encoder uses the same heuristic).
+                self._frame = NativeStreamFrameEncoder(
+                    checksum=self.cctx.checksum, level=self.cctx.level,
+                    block_size=max(pol.size // 4, 1024),
+                )
+            else:
+                from .native.frame import NativeFrameEncoder
+
+                self._frame = NativeFrameEncoder(
+                    checksum=self.cctx.checksum, prefix=prefix,
+                    level=self.cctx.level, ldm=self.cctx.ldm,
+                )
             self._frame_c_size = 0
             self._frame_d_size = 0
             return
@@ -221,7 +239,10 @@ class RawEncoder:
         pol = self.options.frame_size_policy
         if pol.kind == "uncompressed":
             return min(pol.size, SEEKABLE_MAX_FRAME_SIZE) - self._frame_d_size
-        return SEEKABLE_MAX_FRAME_SIZE - self._frame_d_size
+        # The native streaming encoder declares a fixed 16 MiB window;
+        # the frame must cut before input exceeds it.
+        cap = getattr(self._frame, "d_cap", SEEKABLE_MAX_FRAME_SIZE)
+        return min(cap, SEEKABLE_MAX_FRAME_SIZE) - self._frame_d_size
 
     def _is_frame_complete(self) -> bool:
         """(reference: lib/src/encode.rs:537-544)"""
@@ -287,7 +308,10 @@ class RawEncoder:
         (reference: lib/src/encode.rs:311-355)."""
         if prefix is not None:
             self._prefix = bytes(prefix)
-        if self.options.backend == "tpu":
+        if (
+            self.options.backend == "tpu"
+            and self.options.frame_size_policy.kind == "uncompressed"
+        ):
             return self._tpu_compress(data)
         data = memoryview(bytes(data) if not isinstance(data, (bytes, memoryview)) else data)
         out = bytearray()
@@ -322,7 +346,10 @@ class RawEncoder:
     def end_frame(self) -> bytes:
         """Close the current frame and log it in the seek table
         (reference: lib/src/encode.rs:438-472)."""
-        if self.options.backend == "tpu":
+        if (
+            self.options.backend == "tpu"
+            and self.options.frame_size_policy.kind == "uncompressed"
+        ):
             if getattr(self, "_tpu_buf", None):
                 return self._tpu_flush(final=True)
             return b""

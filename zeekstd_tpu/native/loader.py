@@ -82,8 +82,69 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
             ctypes.c_size_t, ctypes.c_int,
         ]
+        lib.zn_stream_new.restype = ctypes.c_void_p
+        lib.zn_stream_new.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.zn_stream_free.restype = None
+        lib.zn_stream_free.argtypes = [ctypes.c_void_p]
+        lib.zn_stream_header.restype = ctypes.c_int64
+        lib.zn_stream_header.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.zn_stream_block.restype = ctypes.c_int64
+        lib.zn_stream_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.zn_stream_end.restype = ctypes.c_int64
+        lib.zn_stream_end.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ]
         _lib = lib
         return _lib
+
+
+class StreamCtx:
+    """Handle for the native streaming frame context (one compressed
+    block per call — the FrameSizePolicy::Compressed engine)."""
+
+    STREAM_DCAP = 1 << 24  # declared window; frames must cut here
+
+    def __init__(self, level: int, checksum: bool):
+        self._lib = get_lib()
+        self._h = self._lib.zn_stream_new(level, 1 if checksum else 0)
+
+    def header(self) -> bytes:
+        buf = ctypes.create_string_buffer(16)
+        r = self._lib.zn_stream_header(self._h, buf, 16)
+        if r < 0:
+            raise RuntimeError("zn_stream_header failed")
+        return buf.raw[:r]
+
+    def block(self, data: bytes) -> bytes:
+        cap = len(data) + len(data) // 2 + 1024
+        buf = ctypes.create_string_buffer(cap)
+        r = self._lib.zn_stream_block(self._h, bytes(data), len(data), buf, cap)
+        if r < 0:
+            raise RuntimeError("zn_stream_block failed")
+        return buf.raw[:r]
+
+    def end(self) -> bytes:
+        buf = ctypes.create_string_buffer(16)
+        r = self._lib.zn_stream_end(self._h, buf, 16)
+        if r < 0:
+            raise RuntimeError("zn_stream_end failed")
+        return buf.raw[:r]
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.zn_stream_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def available() -> bool:

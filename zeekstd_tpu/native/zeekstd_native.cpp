@@ -1730,6 +1730,113 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
   return out.size();
 }
 
+// Streaming frame context: one compressed BLOCK per call, so the
+// caller can watch the frame\'s compressed size grow and cut when the
+// FrameSizePolicy::Compressed threshold is reached — the reference
+// checks after each compress_stream2 chunk (lib/src/encode.rs:15-39,
+// 537-544); here the granularity is one 128 KiB block. The header
+// declares no content size (unknown until the cut) and a fixed 16 MiB
+// window; the caller must cut the frame at 16 MiB of input so every
+// match offset stays inside the declared window.
+struct ZnStream {
+  Matcher M;
+  int level = 1;
+  int checksum = 0;
+  int depth = 0;
+  u32 reps[3] = {1, 4, 8};
+  std::vector<u8> hist;  // frame input so far (the match window)
+};
+
+static const u64 ZN_STREAM_DCAP = 1ull << 24;
+
+extern "C" void* zn_stream_new(int level, int checksum) {
+  ensure_defaults();
+  ZnStream* s = new ZnStream();
+  s->level = level;
+  s->checksum = checksum;
+  if (level >= 2) s->M.probe4 = true;
+  s->depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : (level >= 9 ? 8 : (level >= 7 ? 4 : 0))));
+  if (s->depth) s->M.enable_chain(ZN_STREAM_DCAP);
+  if (level >= 15) s->M.enable_bt(ZN_STREAM_DCAP, false);
+  s->hist.reserve(1 << 20);
+  return s;
+}
+
+extern "C" void zn_stream_free(void* h) { delete (ZnStream*)h; }
+
+extern "C" i64 zn_stream_header(void* h, u8* dst, size_t cap) {
+  ZnStream* s = (ZnStream*)h;
+  if (cap < 6) return -1;
+  dst[0] = 0x28; dst[1] = 0xB5; dst[2] = 0x2F; dst[3] = 0xFD;
+  dst[4] = s->checksum ? 0x04 : 0x00;  // FCS absent, not single-segment
+  dst[5] = (u8)((24 - 10) << 3);       // window descriptor: 2^24
+  return 6;
+}
+
+extern "C" i64 zn_stream_block(void* h, const u8* src, size_t n, u8* dst,
+                               size_t cap) {
+  ZnStream* s = (ZnStream*)h;
+  if (n == 0 || n > BLOCK_MAX) return -1;
+  if (s->hist.size() + n > ZN_STREAM_DCAP) return -1;
+  size_t pos = s->hist.size();
+  s->hist.insert(s->hist.end(), src, src + n);
+  const u8* base = s->hist.data();
+  const u8* bp = base + pos;
+  std::vector<u8> out;
+  bool rle = n > 1;
+  for (size_t i = 1; i < n && rle; i++) rle = bp[i] == bp[0];
+  if (rle) {
+    u32 hd = (u32)((n << 3) | (1u << 1));
+    out.push_back((u8)hd); out.push_back((u8)(hd >> 8)); out.push_back((u8)(hd >> 16));
+    out.push_back(bp[0]);
+  } else {
+    static thread_local std::vector<Seq> seqs;
+    static thread_local std::vector<u8> lits;
+    seqs.clear();
+    lits.clear();
+    u32 reps_in[3] = {s->reps[0], s->reps[1], s->reps[2]};
+    int lazy = s->level >= 13 ? 3 : (s->level >= 7 ? 2 : (s->level >= 3 ? 1 : 0));
+    if (s->level >= 15)
+      parse_block_opt(base, pos, n, s->M, s->reps, seqs, lits, s->depth);
+    else if (s->level <= 1)
+      parse_block_l1(base, pos, n, s->M, s->reps, seqs, lits);
+    else
+      parse_block(base, pos, n, s->M, s->reps, seqs, lits, lazy, s->depth);
+    static thread_local std::vector<u8> body;
+    body.clear();
+    write_literals_section(body, lits.data(), lits.size());
+    write_sequences_section(body, seqs);
+    if (body.size() >= n || body.size() >= (1u << 21)) {
+      // raw fallback; repeat history must not advance
+      s->reps[0] = reps_in[0]; s->reps[1] = reps_in[1]; s->reps[2] = reps_in[2];
+      u32 hd = (u32)((n << 3) | (0u << 1));
+      out.push_back((u8)hd); out.push_back((u8)(hd >> 8)); out.push_back((u8)(hd >> 16));
+      out.insert(out.end(), bp, bp + n);
+    } else {
+      u32 hd = (u32)((body.size() << 3) | (2u << 1));
+      out.push_back((u8)hd); out.push_back((u8)(hd >> 8)); out.push_back((u8)(hd >> 16));
+      out.insert(out.end(), body.begin(), body.end());
+    }
+  }
+  if (out.size() > cap) return -1;
+  memcpy(dst, out.data(), out.size());
+  return (i64)out.size();
+}
+
+extern "C" i64 zn_stream_end(void* h, u8* dst, size_t cap) {
+  // Empty raw Last_Block + optional content checksum over the frame.
+  ZnStream* s = (ZnStream*)h;
+  size_t need = 3 + (s->checksum ? 4 : 0);
+  if (cap < need) return -1;
+  dst[0] = 1; dst[1] = 0; dst[2] = 0;
+  if (s->checksum) {
+    u32 c = (u32)zn_xxh64(s->hist.data(), s->hist.size(), 0);
+    dst[3] = (u8)c; dst[4] = (u8)(c >> 8);
+    dst[5] = (u8)(c >> 16); dst[6] = (u8)(c >> 24);
+  }
+  return (i64)need;
+}
+
 // ------------------------------------------------------------- decoder ----
 
 #ifdef ZN_PROF
