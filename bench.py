@@ -80,7 +80,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_samehost_libzstd(corpus: bytes):
+def bench_samehost_libzstd(corpus: bytes, level: int = 1):
     """Same-host libzstd level-1 encode AND decode speed (single-threaded):
     normalizes vs_baseline for hardware — the published baseline machine
     runs libzstd ~2.4x faster than this shared-vCPU VM, so per-core parity
@@ -92,7 +92,7 @@ def bench_samehost_libzstd(corpus: bytes):
         best = 0.0
         for _ in range(2):
             t0 = time.time()
-            blob = zstd_compress(corpus, level=1)
+            blob = zstd_compress(corpus, level=level)
             best = max(best, len(corpus) / (time.time() - t0) / (1 << 20))
         best_dec = 0.0
         for _ in range(3):
@@ -105,7 +105,7 @@ def bench_samehost_libzstd(corpus: bytes):
         return None
 
 
-def bench_native_st(corpus: bytes, frame_size: int):
+def bench_native_st(corpus: bytes, frame_size: int, level: int = 1):
     """(enc MiB/s, dec MiB/s) single-threaded — the reference's own
     measurement condition (BASELINE.md: one core)."""
     from zeekstd_tpu.native import loader
@@ -114,7 +114,7 @@ def bench_native_st(corpus: bytes, frame_size: int):
     if not loader.available():
         return None
     n = len(corpus)
-    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=1)
+    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=1, level=level)
     st = SeekTable.from_frames(
         (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
     )
@@ -124,7 +124,7 @@ def bench_native_st(corpus: bytes, frame_size: int):
     reps = 0
     while reps < 4 or (time.time() - t_start < budget and reps < 20):
         t0 = time.time()
-        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=1)
+        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=1, level=level)
         best_enc = max(best_enc, n / (time.time() - t0) / (1 << 20))
         reps += 1
     c_off = list(map(int, st.cumulative_offsets()[0]))
@@ -142,7 +142,7 @@ def bench_native_st(corpus: bytes, frame_size: int):
     return best_enc, best_dec
 
 
-def bench_native(corpus: bytes, frame_size: int):
+def bench_native(corpus: bytes, frame_size: int, level: int = 1):
     """(enc MiB/s, dec MiB/s, ratio) via the multithreaded native runtime."""
     from zeekstd_tpu.native import loader
     from zeekstd_tpu.seek_table import SeekTable
@@ -153,7 +153,7 @@ def bench_native(corpus: bytes, frame_size: int):
     # Oversubscribing shared vCPUs measurably hurts; one thread per core.
     nt = os.cpu_count() or 4
     # Warm-up + correctness.
-    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=nt)
+    blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=nt, level=level)
     st = SeekTable.from_frames(
         (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
     )
@@ -165,7 +165,7 @@ def bench_native(corpus: bytes, frame_size: int):
     reps = 0
     while reps < 6 or (time.time() - t_start < budget and reps < 40):
         t0 = time.time()
-        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=nt)
+        blob, sizes = loader.compress_stream_mt(corpus, frame_size, nthreads=nt, level=level)
         st = SeekTable.from_frames(
             (c, min(frame_size, n - i * frame_size)) for i, c in enumerate(sizes)
         )
@@ -206,7 +206,7 @@ def _tpu_unavailable_note():
     )
 
 
-def bench_tpu(corpus: bytes, frame_size: int):
+def bench_tpu(corpus: bytes, frame_size: int, level: int = 1):
     """(ondevice enc MiB/s, ondevice dec MiB/s, ratio, detail) via the
     batched TPU pipeline, full corpus.
 
@@ -255,7 +255,7 @@ def bench_tpu(corpus: bytes, frame_size: int):
         t0 = time.time()
         staged = StagedInput(corpus, frame_size)
         rows, c_sizes, st = tpu_compress_archive(
-            staged, frame_size=frame_size, level=1, return_device=True
+            staged, frame_size=frame_size, level=level, return_device=True
         )
         fence(rows)
         warm_enc = time.time() - t0
@@ -264,14 +264,14 @@ def bench_tpu(corpus: bytes, frame_size: int):
         for _ in range(2):
             t0 = time.time()
             rows, c_sizes, st = tpu_compress_archive(
-                staged, frame_size=frame_size, level=1, return_device=True
+                staged, frame_size=frame_size, level=level, return_device=True
             )
             fence(rows)
             best = min(best, time.time() - t0)
         enc_dev = n / best / (1 << 20)
 
         t0 = time.time()
-        blob, st = tpu_compress_archive(corpus, frame_size=frame_size, level=1)
+        blob, st = tpu_compress_archive(corpus, frame_size=frame_size, level=level)
         enc_e2e = n / (time.time() - t0) / (1 << 20)
 
         t0 = time.time()
@@ -346,6 +346,7 @@ def main() -> int:
         jax.profiler.start_trace(profile_dir)
     t_bench = time.time()
     size = int(os.environ.get("BENCH_SIZE_MB", "10")) << 20
+    level = int(os.environ.get("BENCH_LEVEL", "1"))
     corpus = build_corpus(size)
     n = len(corpus)
     log(f"corpus: {n} bytes ({time.time()-t_bench:.1f}s)")
@@ -356,14 +357,14 @@ def main() -> int:
     # +13% measured MT decode) at ~0.1pp ratio cost. The TPU path keeps
     # 1 MiB frames — its compiled-shape cache is keyed on them.
     frame_size_nat = 512 << 10
-    ref = bench_samehost_libzstd(corpus)
+    ref = bench_samehost_libzstd(corpus, level)
     if ref:
         log(
             f"same-host libzstd L1: enc {ref[0]:.1f} dec {ref[2]:.1f} MiB/s "
             f"ratio {ref[1]*100:.1f}%"
         )
-    native = bench_native(corpus, frame_size_nat)
-    native_st = bench_native_st(corpus, frame_size_nat)
+    native = bench_native(corpus, frame_size_nat, level)
+    native_st = bench_native_st(corpus, frame_size_nat, level)
     if native_st:
         log(
             f"native ST: enc {native_st[0]:.1f} MiB/s dec {native_st[1]:.1f} "
@@ -432,7 +433,7 @@ def main() -> int:
     tpu = None
     budget = float(os.environ.get("BENCH_TPU_BUDGET_S", "240"))
     if os.environ.get("BENCH_SKIP_TPU") != "1" and time.time() - t_bench < budget:
-        tpu = bench_tpu(corpus, frame_size)
+        tpu = bench_tpu(corpus, frame_size, level)
         if tpu and tpu[0] is not None:
             log(f"tpu ondevice: enc {tpu[0]:.1f} MiB/s dec {tpu[1]:.1f} MiB/s ratio {tpu[2]*100:.1f}%")
 
@@ -463,11 +464,12 @@ def main() -> int:
     _result.update(
         metric=(
             f"seekable archive encode MiB/s, {n >> 20}MiB dickens-like text, "
-            f"level 1, {frame_size_nat >> 10}KiB native / {frame_size >> 20}MiB "
+            f"level {level}, {frame_size_nat >> 10}KiB native / {frame_size >> 20}MiB "
             f"tpu frames, ratio {ratio*100:.1f}% ({'; '.join(detail)})"
         ),
         value=round(best_enc, 2),
         vs_baseline=round(best_enc / BASELINE_ENCODE_MIBS, 4),
+        level=level,
         # Machine-readable per-surface numbers (MiB/s). ST = one thread,
         # the reference's own condition; MT = one thread per vCPU;
         # tpu_ondevice = inputs staged / outputs resident, fenced.

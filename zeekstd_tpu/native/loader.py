@@ -99,8 +99,59 @@ def get_lib():
         lib.zn_stream_end.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
         ]
+        lib.zn_huf_table.restype = ctypes.c_int64
+        lib.zn_huf_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.zn_fse_enc_table.restype = ctypes.c_int
+        lib.zn_fse_enc_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
+
+
+def huf_table(hist):
+    """(tree_bytes, codes uint32[256], nbits uint8[256]) for a 256-bin
+    literal histogram, or None (native unavailable / not encodable)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(hist, np.uint32)
+    tree = ctypes.create_string_buffer(512)
+    codes = np.zeros(256, np.uint32)
+    nb = np.zeros(256, np.uint8)
+    r = lib.zn_huf_table(
+        h.ctypes.data, tree, 512, codes.ctypes.data, nb.ctypes.data
+    )
+    if r < 0:
+        return None
+    return tree.raw[:r], codes, nb
+
+
+def fse_enc_table(norm, accuracy_log: int):
+    """(delta_nb int32[64], delta_fs int32[64], state_table uint16[512])
+    or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = np.ascontiguousarray(norm, np.int16)
+    dnb = np.zeros(64, np.int32)
+    dfs = np.zeros(64, np.int32)
+    stt = np.zeros(512, np.uint16)
+    r = lib.zn_fse_enc_table(
+        n.ctypes.data, len(n), accuracy_log,
+        dnb.ctypes.data, dfs.ctypes.data, stt.ctypes.data,
+    )
+    if r != 0:
+        return None
+    return dnb, dfs, stt
 
 
 class StreamCtx:

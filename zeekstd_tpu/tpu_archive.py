@@ -339,9 +339,12 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
             of_h.reshape(F, -1), lit_h.reshape(F, -1),
             extrep_b,
         ], axis=1)
+        # lm/ofv ride along flat: the serial FSE-encode kernel reads the
+        # per-block rows directly (ops/fse_kernel.py).
         return (
             pad(adj_ll), pad(mls), pad(ovs),
             pad(ll_codes), pad(ml_codes), pad(of_codes), lits, stats,
+            lm.reshape(-1), ofv.reshape(-1),
         )
 
     _fns[key] = jax.jit(packed)
@@ -452,6 +455,17 @@ def _huf_blocks_fn(seg_bound: int, word_bound: int):
     return _fns[key]
 
 
+def _loader_huf_table(hist):
+    """Native Huffman tree/table build (ctypes) — the Python
+    package-merge + FSE weight writer were ~70% of host_decisions."""
+    try:
+        from .native import loader
+
+        return loader.huf_table(hist)
+    except Exception:
+        return None
+
+
 def _host_jobs(
     F, lengths, overflow, seq_cnt, first_idx, litcnt,
     ll_hist, ml_hist, of_hist, lit_hist,
@@ -518,20 +532,31 @@ def _host_jobs(
             reuse_bits = int(np.dot(hist[nz], prev[1][nz]))
             est_reuse = 6 + (reuse_bits + 7) // 8 + 4 + 5
 
-        tree = codes = nb = None
+        tree = codes256n = nb256n = None
         est_new = None
-        try:
-            freqs = {int(s): int(hist[s]) for s in nz}
-            lengths_map = huf.package_merge_lengths(freqs)
-            weights = huf.lengths_to_weights(lengths_map, int(nz.max()))
-            tree = huf.write_weights(weights)
-            codes, nb, _ = huf.build_encode_table(weights)
-            stream_bits = int(
-                np.dot(hist[: len(nb)], np.asarray(nb, np.int64))
-            )
+        native_ht = _loader_huf_table(hist)
+        if native_ht is not None:
+            tree, codes256n, nbu8 = native_ht
+            nb256n = nbu8.astype(np.int32)
+            stream_bits = int(np.dot(hist, nb256n.astype(np.int64)))
             est_new = len(tree) + 6 + (stream_bits + 7) // 8 + 4 + 5
-        except Exception:
-            pass
+        else:
+            try:
+                freqs = {int(s): int(hist[s]) for s in nz}
+                lengths_map = huf.package_merge_lengths(freqs)
+                weights = huf.lengths_to_weights(lengths_map, int(nz.max()))
+                tree = huf.write_weights(weights)
+                codes, nb, _ = huf.build_encode_table(weights)
+                codes256n = np.zeros(256, np.uint32)
+                codes256n[: len(codes)] = codes
+                nb256n = np.zeros(256, np.int32)
+                nb256n[: len(nb)] = nb
+                stream_bits = int(
+                    np.dot(hist[: len(nb)], np.asarray(nb, np.int64))
+                )
+                est_new = len(tree) + 6 + (stream_bits + 7) // 8 + 4 + 5
+            except Exception:
+                pass
 
         if est_reuse is not None and (est_new is None or est_reuse <= est_new):
             if est_reuse >= nlit:
@@ -546,13 +571,11 @@ def _host_jobs(
             d["lit_mode"] = "huf"
             d["tree"] = tree
             d["tree_id"] = next(tree_ids)
-            codes256 = np.zeros(256, np.uint32)
-            codes256[: len(codes)] = codes
-            nb256 = np.zeros(256, np.int32)
-            nb64 = np.zeros(256, np.int64)
-            nb256[: len(nb)] = nb
-            nb64[: len(nb)] = nb
-            prev_tree[f] = (d["tree_id"], nb64, codes256, nb256)
+            codes256 = codes256n
+            nb256 = nb256n
+            prev_tree[f] = (
+                d["tree_id"], nb256n.astype(np.int64), codes256, nb256,
+            )
         else:
             continue
         seg = (nlit + 3) // 4
@@ -600,6 +623,45 @@ def _host_jobs(
         d["fse_job"] = len(fse_jobs)
         fse_jobs.append(d)
     return blocks, huf_jobs, fse_jobs
+
+
+def _fse_kernel_inputs(fse_jobs, B: int):
+    """Stage the FSE job batch for the serial Pallas encoder
+    (ops/fse_kernel.py): flat job meta + packed encode-table rows,
+    deduped across Repeat_Mode blocks."""
+    from .ops import fse_kernel as fk
+
+    J = len(fse_jobs)
+    NRECJ = fk.bucket_nrecj(J)
+    meta = np.zeros((NRECJ, fk.JMETA_COLS), np.int32)
+    rows = [np.zeros(1024, np.int32)]  # row 0: dummy for padded jobs
+    row_of = {}
+
+    def table_row(t):
+        k = id(t)
+        if k not in row_of:
+            dnb = np.zeros(64, np.int32); dnb[: len(t.delta_nb_bits)] = t.delta_nb_bits
+            dfs = np.zeros(64, np.int32); dfs[: len(t.delta_find_state)] = t.delta_find_state
+            stt = np.asarray(t.state_table, np.int32)
+            row_of[k] = len(rows)
+            rows.append(fk.pack_enc_table(dnb, dfs, stt))
+        return row_of[k]
+
+    for j, d in enumerate(fse_jobs):
+        meta[j, fk.J_REC] = d["frame"] * B + d["block"]
+        meta[j, fk.J_NSEQ] = d["nseq"]
+        meta[j, fk.J_TLL] = table_row(d["tables"]["ll"][1])
+        meta[j, fk.J_TOF] = table_row(d["tables"]["of"][1])
+        meta[j, fk.J_TML] = table_row(d["tables"]["ml"][1])
+        meta[j, fk.J_LOGS] = (
+            d["tables"]["ll"][1].accuracy_log
+            | d["tables"]["of"][1].accuracy_log << 5
+            | d["tables"]["ml"][1].accuracy_log << 10
+        )
+    Tp = 1 << max((len(rows) - 1).bit_length(), 1)
+    pool = np.zeros((Tp, 1024), np.int32)
+    pool[: len(rows)] = np.stack(rows)
+    return meta, pool, NRECJ
 
 
 def _fse_inputs(fse_jobs, seq_bound: int, SB: int | None = None, pad_to: int | None = None):
@@ -830,12 +892,14 @@ def tpu_compress_archive(
 
     # --- dispatch 1: parse + stats ---------------------------------------
     with phase_timer("enc.parse_dispatch") as _pt:
-        # Level-1 fast path: the serial Pallas match kernel replaces the
-        # XLA sort/gather parse (~200 -> ~25 ms/MiB on this chip). Other
-        # levels keep the candidate-chain XLA parse.
-        # Opt-in while the kernel trails the XLA parse on ratio (27.9% vs
-        # 22.9% L1 dickens-like) and its cold Mosaic compile is minutes —
-        # warm speed is already 2.3x (0.90s vs 2.03s per 10 MiB).
+        # Level-1 fast path: the serial Pallas match kernel (v4: lazy
+        # race + backward extension + stride-2 insertion) replaces the
+        # XLA sort/gather parse. DEFAULT on real TPUs since round 4: it
+        # measures BOTH better ratio (22.79% vs 22.86% on the 10 MiB
+        # bench corpus; libzstd L1 23.60%) and faster parse (0.49s vs
+        # 2.0s per 10 MiB). ZEEKSTD_TPU_MATCH=xla restores the XLA
+        # parse; =kernel forces the kernel (incl. interpret mode on CPU,
+        # which the round-trip tests use).
         match_mode = _os.environ.get("ZEEKSTD_TPU_MATCH", "")
         use_match_kernel = (
             level == 1
@@ -843,8 +907,12 @@ def tpu_compress_archive(
             and frame_size <= (8 << 20)
             and F * frame_size < (1 << 31)
             and plen == 0
-            and match_mode == "kernel"
+            and (
+                match_mode == "kernel"
+                or (match_mode != "xla" and jax.default_backend() == "tpu")
+            )
         )
+        lm_flat = ofv_flat = None
         if use_match_kernel:
             from .ops import match_kernel as _mk
 
@@ -853,7 +921,8 @@ def tpu_compress_archive(
                 n_pad=_mk.bucket_nrecp(F * B),
             )
             parse = _match_stats_packed_fn(frame_size, seq_bound, B, F)
-            (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d) = (
+            (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, stats_d,
+             lm_flat, ofv_flat) = (
                 parse(frames_dev, lengths_dev, jnp.asarray(meta_mk))
             )
         else:
@@ -897,7 +966,23 @@ def tpu_compress_archive(
     _t_fse = phase_timer("enc.fse_dispatch").__enter__()
     fse_words = None
     fse_bits = None
-    if fse_jobs:
+    if fse_jobs and lm_flat is not None:
+        # Serial Pallas FSE encoder over the match kernel's per-block
+        # rows (~40 scalar ops/sequence vs ~0.8 s/10 MiB of XLA scan).
+        from .ops import fse_kernel as fk
+
+        meta_j, pool, NRECJ = _fse_kernel_inputs(fse_jobs, B)
+        SBd = BLOCK_SIZE // 4
+        WBo = (((SBd * 88) // 32 + 16 + 7) // 8) * 8
+        kern = fk.get_fse_kernel(
+            SBd, WBo, NRECJ, interpret=jax.default_backend() != "tpu"
+        )
+        fse_words, fse_bits = kern(
+            jnp.asarray(fk.make_consts()), jnp.asarray(meta_j),
+            lm_flat, ofv_flat, jnp.asarray(pool),
+        )
+        _t_fse.fence(fse_words)
+    elif fse_jobs:
         fin, SB, word_bound = _fse_inputs(fse_jobs, seq_bound)
         fidx = fin["fidx"]
         fn = _fse_blocks_fn(SB, word_bound)
