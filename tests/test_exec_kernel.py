@@ -416,3 +416,37 @@ def test_match_kernel_encode_roundtrip(monkeypatch):
     ]
     assert b"".join(parts) == data
     assert len(blob_k) <= len(blob_x) * 1.05, (len(blob_k), len(blob_x))
+
+
+def test_ring_decoder_roundtrip(monkeypatch):
+    """All-scalar ring decoder (interpret mode): kernel-parsed archives
+    (declared window <= 512 KiB) decode bit-exactly through the SMEM
+    output ring, including RLE blocks, short overlapping offsets and
+    cross-block repeat history."""
+    monkeypatch.setenv("ZEEKSTD_TPU_MATCH", "kernel")
+    monkeypatch.setenv("ZEEKSTD_TPU_EXEC", "fused")
+    monkeypatch.setenv("ZEEKSTD_TPU_RING", "1")
+    from zeekstd_tpu.tpu_archive import (
+        tpu_compress_archive, tpu_decompress_archive,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [
+        bytes(rng.integers(97, 123, rng.integers(2, 9), dtype=np.uint8))
+        for _ in range(150)
+    ]
+    data = (
+        b" ".join(words[rng.integers(0, 150)] for _ in range(5000))
+        + b"A" * 5000                      # RLE block material
+        + bytes(rng.integers(0, 256, 40000, dtype=np.uint8))  # raw-ish
+        + b"abcabcabc" * 2000              # off-3 overlapping copies
+    )[: 96 << 10]
+    blob, st = tpu_compress_archive(data, frame_size=64 << 10, level=1)
+    assert tpu_decompress_archive(blob, st) == data
+    # And a foreign (libzstd) archive with a small window rides the ring
+    # decoder too — exercises real cross-block rep history.
+    from .oracle import zstd_compress
+
+    foreign = zstd_compress(data[: 48 << 10], level=3)
+    out = tpu_decompress_archive(foreign)
+    assert out == data[: 48 << 10]

@@ -1,0 +1,452 @@
+"""Ring-buffer fused decoder: FSE decode + LZ execution, all-scalar.
+
+Successor to ops/decode_kernel.py for frames whose declared window fits
+the 512 KiB SMEM output ring. That kernel executes copies as (8, 128)
+vector tiles; measured on this chip, each vector-op sequence inside a
+serial scalar loop costs ~300-500 ns of scalar<->vector synchronization
+— at 2 copy spans per sequence the copies dominate decode. Here the
+output lives in SMEM as packed little-endian words, so literal copies,
+match copies (including the overlapping off<4 repetition forms, handled
+by effective-offset doubling) and RLE fills are plain word reads/RMWs
+at ~1.5 SMEM ops per byte, and completed 4 KiB regions stream to HBM
+via aligned DMA as the ring advances.
+
+FSE bitstream semantics are identical to decode_kernel.py (same meta
+layout, words staging, packed decode-table rows, repeat-offset rules,
+hostile-input clamps; reference hot loop: the sequence decode inside
+decompress_stream, lib/src/decode.rs:242-256). Literal sources arrive
+as packed words (the glue packs the per-frame literal pool), staged
+through a sliding 132 KiB SMEM window.
+
+Ring-safety: a byte's ring slot is reused by the byte 512 KiB later;
+every read at offset <= window <= RING happens before the write that
+would reclaim its slot, because the scalar loop reads each copy's
+source word before storing its destination word. The dispatch only
+routes frames with declared window <= RING here; wider frames keep the
+vector-copy kernel.
+
+Output rows are HBM WORDS (F, OUTB/4) int32; the glue unpacks to bytes
+with one vector op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .decode_kernel import (
+    F_FRAME_END,
+    F_FRAME_START,
+    KIND_LIT,
+    KIND_NOP,
+    KIND_RLE,
+    KIND_SEQ,
+    M_FLAGS,
+    M_FRAME,
+    M_KIND,
+    M_LITN,
+    M_LOGS,
+    M_NSEQ,
+    M_RLEBYTE,
+    M_STARTBIT,
+    M_TLL,
+    M_TML,
+    M_TOF,
+    M_WROW,
+    META_COLS,
+    make_consts,
+)
+
+RING_LOG = 19           # 512 KiB output ring (>= any routed frame's window)
+RING = 1 << RING_LOG
+RW4 = RING // 4
+LITW4 = 1024 * 34       # lit window words (136 KiB: 128 KiB budget + slack)
+
+_fns = {}
+
+
+def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
+           interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert OUTB % 4096 == 0 and LITB % 4096 == 0 and WB % 8 == 0
+    assert LW % 1024 == 0 and LITB // 4 + 1024 <= LITW4
+    OW = OUTB // 4
+    OW1K = OW // 1024
+    F8 = max(8, F)
+    WB8 = WB // 8
+
+    shr = jax.lax.shift_right_logical
+    shl = jax.lax.shift_left
+
+    def kernel(consts_ref, meta_ref, words_ref, tll_ref, tof_ref, tml_ref,
+               lits_hbm, out_hbm, meta_out, ring, litwin, state, dma_sem,
+               out_sem):
+        i = pl.program_id(0)
+        mb = i * META_COLS
+        frame = meta_ref[mb + M_FRAME]
+        kind = meta_ref[mb + M_KIND]
+        nseq = meta_ref[mb + M_NSEQ]
+        litn = meta_ref[mb + M_LITN]
+        flags = meta_ref[mb + M_FLAGS]
+
+        @pl.when(flags & F_FRAME_START != 0)
+        def _():
+            state[0] = 0   # output byte cursor (frame-local)
+            state[1] = 1   # rep1
+            state[2] = 4   # rep2
+            state[3] = 8   # rep3
+            state[4] = 0   # bad flag
+            state[5] = 0   # literal byte cursor (frame pool)
+            state[6] = 0   # flushed watermark, 4 KiB units
+            state[7] = -1  # staged litwin base (1024-word units)
+
+        # Stage the literal window when this record could read beyond it.
+        litcur0 = state[5]
+        lw_base = jnp.minimum(
+            shr(litcur0, 12), jnp.maximum(LW // 1024 - LITW4 // 1024, 0)
+        )  # 1024-word units
+
+        @pl.when(((kind == KIND_SEQ) | (kind == KIND_LIT))
+                 & (state[7] != lw_base))
+        def _():
+            state[7] = lw_base
+            dma = pltpu.make_async_copy(
+                lits_hbm.at[pl.ds((frame * (LW // 1024) + lw_base) * 1024,
+                                  LITW4)],
+                litwin,
+                dma_sem,
+            )
+            dma.start()
+            dma.wait()
+
+        def lit_w(q):
+            """LE word at frame-pool literal byte q (window coords)."""
+            w = shr(q, 2) - lw_base * 1024
+            s = (q & 3) * 8
+            a = litwin[w]
+            b = litwin[w + 1]
+            return jnp.where(s == 0, a, shr(a, s) | shl(b, (32 - s) & 31))
+
+        def ring_w(q):
+            """LE word at output byte q (ring coords)."""
+            qi = shr(q, 2)
+            s = (q & 3) * 8
+            a = ring[qi & (RW4 - 1)]
+            b = ring[(qi + 1) & (RW4 - 1)]
+            return jnp.where(s == 0, a, shr(a, s) | shl(b, (32 - s) & 31))
+
+        def ring_store(d, w, take):
+            """Write ``take`` (1..4) low bytes of ``w`` at output byte d."""
+            j = shr(d, 2)
+            s = (d & 3) * 8
+            m = jnp.where(take >= 4, jnp.int32(-1), shl(1, take * 8) - 1)
+            v = w & m
+            j0 = j & (RW4 - 1)
+            ring[j0] = (ring[j0] & ~shl(m, s)) | shl(v, s)
+
+            @pl.when(s + take * 8 > 32)
+            def _():
+                j1 = (j + 1) & (RW4 - 1)
+                sh2 = (32 - s) & 31
+                ring[j1] = (ring[j1] & ~shr(m, sh2)) | shr(v, sh2)
+
+        def copy_lits(src_q, dst, L):
+            def cond(c):
+                return c < L
+
+            def body(done):
+                w = lit_w(src_q + done)
+                ring_store(dst + done, w, jnp.minimum(4, L - done))
+                return done + 4
+
+            jax.lax.while_loop(cond, body, jnp.int32(0))
+
+        def copy_match(dst, off, L):
+            """Self-referential copy of L bytes from dst-off; off >= 1.
+            Offsets < 4 bootstrap by effective-offset doubling (the
+            copied prefix becomes a longer-period source)."""
+
+            def grow_cond(c):
+                done, eo = c
+                return (eo < 4) & (done < L)
+
+            def grow_body(c):
+                done, eo = c
+                take = jnp.minimum(eo, L - done)
+                w = ring_w(dst + done - eo)
+                ring_store(dst + done, w, jnp.minimum(take, 4))
+                return done + jnp.minimum(take, 4), eo * 2
+
+            done, eo = jax.lax.while_loop(
+                grow_cond, grow_body, (jnp.int32(0), off)
+            )
+
+            def cond(c):
+                return c < L
+
+            def body(d):
+                w = ring_w(dst + d - eo)
+                ring_store(dst + d, w, jnp.minimum(4, L - d))
+                return d + 4
+
+            jax.lax.while_loop(cond, body, done)
+
+        def fill_rle(dst, L, byte):
+            pat = byte | shl(byte, 8) | shl(byte, 16) | shl(byte, 24)
+
+            def cond(c):
+                return c < L
+
+            def body(d):
+                ring_store(dst + d, pat, jnp.minimum(4, L - d))
+                return d + 4
+
+            jax.lax.while_loop(cond, body, jnp.int32(0))
+
+        def read_bits(rem, n):
+            lo = rem - n
+            w = jnp.clip(lo >> 5, 0, WB - 2)
+            sh = lo & 31
+            w0 = words_ref[0, w // WB8, w % WB8]
+            w1 = words_ref[0, (w + 1) // WB8, (w + 1) % WB8]
+            hi = jnp.where(sh == 0, 0, shl(w1, (32 - sh) & 31))
+            both = shr(w0, sh) | hi
+            mask = shl(jnp.int32(1), jnp.clip(n, 0, 31)) - 1
+            return jnp.where(n <= 0, 0, both & mask)
+
+        @pl.when(kind == KIND_SEQ)
+        def _():
+            logs = meta_ref[mb + M_LOGS]
+            ll_log = logs & 31
+            of_log = (logs >> 5) & 31
+            ml_log = (logs >> 10) & 31
+            rem0 = meta_ref[mb + M_STARTBIT]
+            ll_s0 = read_bits(rem0, ll_log)
+            rem0 = rem0 - ll_log
+            of_s0 = read_bits(rem0, of_log)
+            rem0 = rem0 - of_log
+            ml_s0 = read_bits(rem0, ml_log)
+            rem0 = rem0 - ml_log
+
+            def seq_body(j, carry):
+                (pos, litcur, r1, r2, r3, bad,
+                 ll_s, of_s, ml_s, rem) = carry
+                of_e = tof_ref[0, of_s // 64, of_s % 64]
+                ml_e = tml_ref[0, ml_s // 64, ml_s % 64]
+                ll_e = tll_ref[0, ll_s // 64, ll_s % 64]
+
+                of_code = of_e & 0xFF
+                ofv = shl(jnp.int32(1), jnp.clip(of_code, 0, 31)) + read_bits(
+                    rem, of_code
+                )
+                rem = rem - of_code
+                ml_code = ml_e & 0xFF
+                mlb = consts_ref[3, ml_code]
+                ml = consts_ref[2, ml_code] + read_bits(rem, mlb)
+                rem = rem - mlb
+                ll_code = ll_e & 0xFF
+                llb = consts_ref[1, ll_code]
+                ll = consts_ref[0, ll_code] + read_bits(rem, llb)
+                rem = rem - llb
+
+                # Repeat-offset resolution (RFC 8878 3.1.1.3.2.1.1).
+                ridx = jnp.where(ofv > 3, 0, ofv + jnp.where(ll == 0, 1, 0))
+                off = jnp.where(ofv > 3, ofv - 3,
+                      jnp.where(ridx == 1, r1,
+                      jnp.where(ridx == 2, r2,
+                      jnp.where(ridx == 3, r3, r1 - 1))))
+                moved = (ofv > 3) | (ridx != 1)
+                nr3 = jnp.where(ridx == 2, r3, jnp.where(moved, r2, r3))
+                nr2 = jnp.where(moved, r1, r2)
+                nr1 = jnp.where(moved, off, r1)
+
+                # FSE state updates (skipped after the block's last seq).
+                upd = j + 1 < nseq
+                llnb = (ll_e >> 8) & 0xFF
+                ll_s2 = (ll_e >> 16) + read_bits(rem, llnb)
+                rem = rem - jnp.where(upd, llnb, 0)
+                mlnb = (ml_e >> 8) & 0xFF
+                ml_s2 = (ml_e >> 16) + read_bits(rem, mlnb)
+                rem = rem - jnp.where(upd, mlnb, 0)
+                ofnb = (of_e >> 8) & 0xFF
+                of_s2 = (of_e >> 16) + read_bits(rem, ofnb)
+                rem = rem - jnp.where(upd, ofnb, 0)
+                ll_s = jnp.where(upd, ll_s2, ll_s)
+                ml_s = jnp.where(upd, ml_s2, ml_s)
+                of_s = jnp.where(upd, of_s2, of_s)
+
+                # Hostile-input clamps (mirrors decode_kernel.py): the
+                # literal run must fit both the output row and this
+                # block's staged literal window.
+                ll_w = jnp.minimum(
+                    jnp.minimum(ll, OUTB - pos),
+                    jnp.maximum(litcur0 + litn - litcur, 0),
+                )
+                bad = bad | jnp.where(ll_w != ll, 1, 0)
+
+                @pl.when(ll_w > 0)
+                def _():
+                    copy_lits(litcur, pos, ll_w)
+
+                mpos = pos + ll_w
+                ml_w = jnp.minimum(ml, OUTB - mpos)
+                bad = bad | jnp.where(
+                    ((ml > 0) & ((off <= 0) | (off > mpos) | (off > RING)))
+                    | (ml_w != ml),
+                    1, 0,
+                )
+                safe_off = jnp.clip(off, 1, jnp.maximum(jnp.minimum(mpos, RING), 1))
+
+                @pl.when(ml_w > 0)
+                def _():
+                    copy_match(mpos, safe_off, ml_w)
+
+                return (mpos + ml_w, litcur + ll_w, nr1, nr2, nr3, bad,
+                        ll_s, of_s, ml_s, rem)
+
+            (pos, litcur, r1, r2, r3, bad, _l, _o, _m, rem) = (
+                jax.lax.fori_loop(
+                    0, nseq, seq_body,
+                    (state[0], litcur0, state[1], state[2], state[3],
+                     state[4], ll_s0, of_s0, ml_s0, rem0),
+                )
+            )
+            state[1] = r1
+            state[2] = r2
+            state[3] = r3
+            bad = bad | jnp.where(rem != 0, 1, 0)
+
+            trail = litn - (litcur - litcur0)
+            bad = bad | jnp.where(trail < 0, 1, 0)
+            trail_c = jnp.minimum(jnp.maximum(trail, 0), OUTB - pos)
+            bad = bad | jnp.where(trail_c != jnp.maximum(trail, 0), 1, 0)
+
+            @pl.when(trail_c > 0)
+            def _():
+                copy_lits(litcur, pos, trail_c)
+
+            state[0] = pos + trail_c
+            state[5] = litcur + trail_c
+            state[4] = bad
+
+        @pl.when(kind == KIND_LIT)
+        def _():
+            pos = state[0]
+            litn_w = jnp.minimum(litn, OUTB - pos)
+            state[4] = state[4] | jnp.where(litn_w != litn, 1, 0)
+
+            @pl.when(litn_w > 0)
+            def _():
+                copy_lits(litcur0, pos, litn_w)
+
+            state[0] = pos + litn_w
+            state[5] = litcur0 + litn_w
+
+        @pl.when(kind == KIND_RLE)
+        def _():
+            pos = state[0]
+            litn_w = jnp.minimum(litn, OUTB - pos)
+            state[4] = state[4] | jnp.where(litn_w != litn, 1, 0)
+
+            @pl.when(litn_w > 0)
+            def _():
+                fill_rle(pos, litn_w, meta_ref[mb + M_RLEBYTE])
+
+            state[0] = pos + litn_w
+
+        # Flush completed 4 KiB regions (and the tail at frame end) to
+        # the HBM output row. Ring regions are contiguous per 4 KiB;
+        # offsets stay provably 1024-word aligned.
+        @pl.when(kind != KIND_NOP)
+        def _():
+            last = flags & F_FRAME_END != 0
+            hi = jnp.where(
+                last, (state[0] + 4095) >> 12, shr(state[0], 12)
+            )
+            hi = jnp.minimum(hi, OW1K)
+
+            def fcond(c):
+                return c < hi
+
+            def fbody(lo):
+                dma = pltpu.make_async_copy(
+                    ring.at[pl.ds((lo & (RW4 // 1024 - 1)) * 1024, 1024)],
+                    out_hbm.at[pl.ds((frame * OW1K + lo) * 1024, 1024)],
+                    out_sem,
+                )
+                dma.start()
+                dma.wait()
+                return lo + 1
+
+            jax.lax.while_loop(fcond, fbody, state[6])
+            state[6] = hi
+
+            @pl.when(last)
+            def _():
+                row = jnp.zeros((1, 128), jnp.int32)
+                li = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                row = jnp.where(li == 0, state[0], row)
+                row = jnp.where(li == 1, state[4], row)
+                row = jnp.where(li == 2, state[5], row)
+                meta_out[pl.ds(frame, 1), :] = row
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NRECP,),
+        in_specs=[
+            pl.BlockSpec((1, 8, WB8), lambda i, c, m: (m[i * META_COLS + M_WROW], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 64), lambda i, c, m: (m[i * META_COLS + M_TLL], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 64), lambda i, c, m: (m[i * META_COLS + M_TOF], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 64), lambda i, c, m: (m[i * META_COLS + M_TML], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # lit words (F*LW,) i32
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # out words (F*OW,) i32
+            pl.BlockSpec((F8, 128), lambda i, c, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((RW4,), jnp.int32),
+            pltpu.SMEM((LITW4,), jnp.int32),
+            pltpu.SMEM((16,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def call(consts, meta, words, tables, lit_words):
+        nw = words.shape[0]
+        tp = tables.shape[0]
+        words3 = words.reshape(nw, 8, WB8)
+        tab3 = tables.reshape(tp, 8, 64)
+        out, meta_out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((F * OW,), jnp.int32),
+                jax.ShapeDtypeStruct((F8, 128), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+            ),
+            interpret=interpret,
+        )(consts, meta.reshape(-1), words3, tab3, tab3, tab3,
+          lit_words.reshape(-1))
+        return out.reshape(F, OW), meta_out[:F]
+
+    return jax.jit(call)
+
+
+def get_ring_kernel(WB: int, LITB: int, OUTB: int, NRECP: int, F: int,
+                    LW: int, interpret: bool = False):
+    key = (WB, LITB, OUTB, NRECP, F, LW, interpret)
+    if key not in _fns:
+        _fns[key] = _build(*key)
+    return _fns[key]

@@ -742,6 +742,7 @@ def _layout_archive(
     fse_byte_shape, huf_byte_shape, lits_shape, frames_shape,
     checksum: bool,
     prefix_len: int = 0,
+    window_cap: int | None = None,
 ):
     """Byte-exact archive layout (host): one SegmentPlan over the local
     frames ``datas`` (list of per-frame bytes). Returns (plan, d_sizes);
@@ -772,10 +773,15 @@ def _layout_archive(
             plan.add_static(f, compress_frame(b"", level=1, checksum=checksum))
             continue
 
+        # Declared window: the match kernel's offsets are bounded by its
+        # 512 KiB sliding window, so kernel-parsed frames declare the
+        # tighter bound — smaller decoder allocations and ring-decoder
+        # eligibility (ops/ring_kernel.py).
+        window = flen + prefix_len
+        if window_cap is not None:
+            window = min(window, window_cap)
         plan.add_static(
-            f, frame_mod.write_frame_header(
-                flen, max(flen + prefix_len, 1024), checksum
-            )
+            f, frame_mod.write_frame_header(flen, max(window, 1024), checksum)
         )
         n_blocks_f = -(-flen // BLOCK_SIZE)
         emit_state = {"tree_id": None, "fse_ids": {}}
@@ -1039,6 +1045,7 @@ def tpu_compress_archive(
         (fse_words.shape[0], fse_words.shape[1] * 4),
         (huf_words.shape[0], huf_words.shape[1] * 4),
         lits_d.shape, frames_shape, checksum, prefix_len=plen,
+        window_cap=(1 << 19) if use_match_kernel else None,
     )
     seg_dest, seg_base, static_pool, c_sizes = plan.build_runs()
     frame_bound = 1 << max((int(c_sizes.max()) - 1).bit_length(), 7)
@@ -2144,6 +2151,56 @@ def _fused_exec_fn(WB, LITB, OUTB, NRECP, F, LROWS, words_shape, tab_shape,
     return _fns[key]
 
 
+def _ring_exec_fn(WB, LITB, OUTB, NRECP, F, LROWS, words_shape, tab_shape,
+                  static_len, SEGL):
+    """Glue for the all-scalar ring decoder (ops/ring_kernel.py): same
+    inputs as _fused_exec_fn, literals packed to words, output words
+    unpacked to bytes."""
+    key = ("ring_exec", WB, LITB, OUTB, NRECP, F, LROWS, words_shape,
+           tab_shape, static_len, SEGL)
+    if key in _fns:
+        return _fns[key]
+    jax, jnp = _jx()
+    from .ops import ring_kernel as rk
+
+    LBYTES = LROWS * 128
+    LW = max(-(-(LBYTES // 4) // 1024), rk.LITW4 // 1024) * 1024
+    kern = rk.get_ring_kernel(
+        WB, LITB, OUTB, NRECP, F, LW,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    def fn(consts, meta, words, tables, lit_dest, lit_base, nlit_f,
+           static_lits, dec_streams):
+        def one(d, b, nv):
+            counts = jnp.zeros(LBYTES, jnp.int32).at[d].add(1, mode="drop")
+            seg = jnp.clip(jnp.cumsum(counts) - 1, 0, d.shape[0] - 1)
+            j = jnp.arange(LBYTES, dtype=jnp.int32)
+            m = b[seg] + (j - d[seg])
+            return jnp.where(j < nv, m, 0)
+
+        lit_map = jax.vmap(one)(lit_dest, lit_base, nlit_f)
+        lit_flat = jnp.concatenate([static_lits, dec_streams.reshape(-1)])
+        lit_map = jnp.clip(lit_map, 0, lit_flat.shape[0] - 1)
+        litb = lit_flat[lit_map].reshape(F, LBYTES // 4, 4).astype(jnp.int32)
+        lit_words = (
+            litb[..., 0] | (litb[..., 1] << 8) | (litb[..., 2] << 16)
+            | (litb[..., 3] << 24)
+        )
+        lit_words = jnp.pad(
+            lit_words, ((0, 0), (0, LW - lit_words.shape[1]))
+        )
+        outw, meta_out = kern(consts, meta, words, tables, lit_words)
+        shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)
+        out = (
+            (outw[..., None] >> shifts) & 0xFF
+        ).astype(jnp.uint8).reshape(F, OUTB)
+        return out, meta_out
+
+    _fns[key] = jax.jit(fn)
+    return _fns[key]
+
+
 def _fused_decode_frames(blob, spans, verify_checksum=True):
     """Batched fused-kernel decode of arbitrary frame spans [(start,
     end), ...] of ``blob`` — ONE kernel dispatch for all of them (the
@@ -2214,7 +2271,22 @@ def _fused_exec_dispatch(
             b = len(plan) * ZSTD_BLOCK_SIZE_MAX
         bounds.append(b + plens[fi])
     max_bound = max(bounds)
-    if max_bound > SERIAL_OUTB_CAP:
+    # Ring decoder eligibility: every frame's declared window (and any
+    # prefix) fits the 512 KiB SMEM output ring. Wider windows keep the
+    # vector-copy kernel. ZEEKSTD_TPU_RING=0 disables, =1 forces (CPU
+    # interpret tests).
+    from .ops import ring_kernel as _rk
+
+    ring_env = _os.environ.get("ZEEKSTD_TPU_RING", "")
+    use_ring = ring_env != "0" and all(
+        (hdr.window_size or 0) <= _rk.RING and plens[fi] <= _rk.RING
+        for fi, (hdr, _p, _c) in enumerate(plans)
+    )
+    if ring_env != "1" and jax.default_backend() != "tpu":
+        use_ring = False
+    if max_bound > (1 << 27):
+        use_ring = False  # HBM word+byte rows would exceed ~2 GiB
+    if not use_ring and max_bound > SERIAL_OUTB_CAP:
         _serial_fallbacks["count"] += 1
         _serial_fallbacks["reason"] = f"frame bound {max_bound} over cap"
         return NotImplemented
@@ -2332,7 +2404,8 @@ def _fused_exec_dispatch(
         # key input-size independent (padded frames own no records).
         F_pad = 1 << max((F - 1).bit_length(), 2)
         pad_f = ((0, F_pad - F), (0, 0))
-        fn = _fused_exec_fn(
+        mk_fn = _ring_exec_fn if use_ring else _fused_exec_fn
+        fn = mk_fn(
             word_bound, LITB, OUTB, meta.shape[0], F_pad, LROWS,
             tuple(words.shape), tuple(packed.shape), sp, SEGL,
         )
