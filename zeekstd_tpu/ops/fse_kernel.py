@@ -84,7 +84,8 @@ def _build(SBd: int, WBo: int, NRECJ: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert SBd % 1024 == 0 and WBo % 8 == 0
+    assert SBd % 1024 == 0
+    assert WBo & (WBo - 1) == 0, "WBo must be a power of two (SMEM tiling)"
     SBd8 = SBd // 8
     WBo8 = WBo // 8
 
@@ -161,16 +162,16 @@ def _build(SBd: int, WBo: int, NRECJ: int, interpret: bool = False):
             acc, n, w = st
             v = val & (shl(jnp.int32(1), nb) - 1)
             acc2 = acc | shl(v, n)
+            sp = n + nb >= 32
 
-            def spill(c):
-                _a, _n, _w = c
-                words_out[0, w >> 3, w & 7] = acc2
-                return shr(v, 32 - n), n + nb - 32, w + 1
+            @pl.when(sp)
+            def _():
+                words_out[0, shr(w, 12), w & 4095] = acc2
 
-            return jax.lax.cond(
-                n + nb >= 32, spill, lambda c: (acc2, n + nb, w),
-                (acc, n, w),
-            )
+            # 32-n is a valid shift whenever sp (n >= 1 there); the clip
+            # only sanitizes the discarded non-spill lane.
+            acc3 = jnp.where(sp, shr(v, jnp.clip(32 - n, 1, 31)), acc2)
+            return acc3, n + nb - jnp.where(sp, 32, 0), w + sp.astype(jnp.int32)
 
         @pl.when(nseq > 0)
         def _():
@@ -225,21 +226,21 @@ def _build(SBd: int, WBo: int, NRECJ: int, interpret: bool = False):
 
             @pl.when(n > 0)
             def _():
-                words_out[0, w >> 3, w & 7] = acc
+                words_out[0, shr(w, 12), w & 4095] = acc
 
             def zb(s, _):
-                bits_out[0, s >> 3, s & 7] = jnp.where(s == 0, total, 0)
+                bits_out[0, s >> 6, s & 63] = jnp.where(s == 0, total, 0)
                 return 0
 
-            jax.lax.fori_loop(0, 64, zb, 0)
+            jax.lax.fori_loop(0, 512, zb, 0)
 
         @pl.when(nseq <= 0)
         def _():
             def zb(s, _):
-                bits_out[0, s >> 3, s & 7] = 0
+                bits_out[0, s >> 6, s & 63] = 0
                 return 0
 
-            jax.lax.fori_loop(0, 64, zb, 0)
+            jax.lax.fori_loop(0, 512, zb, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -255,9 +256,9 @@ def _build(SBd: int, WBo: int, NRECJ: int, interpret: bool = False):
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, WBo8, 8), lambda i, c, m: (i, 0, 0),
+            pl.BlockSpec((1, 8, WBo // 8), lambda i, c, m: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 8), lambda i, c, m: (i, 0, 0),
+            pl.BlockSpec((1, 8, 64), lambda i, c, m: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
@@ -272,8 +273,8 @@ def _build(SBd: int, WBo: int, NRECJ: int, interpret: bool = False):
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((NRECJ, WBo8, 8), jnp.int32),
-                jax.ShapeDtypeStruct((NRECJ, 8, 8), jnp.int32),
+                jax.ShapeDtypeStruct((NRECJ, 8, WBo // 8), jnp.int32),
+                jax.ShapeDtypeStruct((NRECJ, 8, 64), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,

@@ -979,7 +979,8 @@ def tpu_compress_archive(
 
         meta_j, pool, NRECJ = _fse_kernel_inputs(fse_jobs, B)
         SBd = BLOCK_SIZE // 4
-        WBo = (((SBd * 88) // 32 + 16 + 7) // 8) * 8
+        # pow2 word bound (SMEM tiling): >= SBd * 88 bits / 32
+        WBo = 1 << (((SBd * 88) // 32 + 16) - 1).bit_length()
         kern = fk.get_fse_kernel(
             SBd, WBo, NRECJ, interpret=jax.default_backend() != "tpu"
         )
