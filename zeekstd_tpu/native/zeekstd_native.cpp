@@ -1082,6 +1082,10 @@ static int l1_stride() {
   static int v = [] { const char* e = getenv("ZN_L1_STRIDE"); return e ? atoi(e) : 2; }();
   return v;
 }
+static int zn_opt_entry() {
+  static int v = [] { const char* e = getenv("ZN_OPT_ENTRY"); return e ? atoi(e) : 15; }();
+  return v;
+}
 static u64 l1_hmask() {
   static u64 v = [] {
     const char* e = getenv("ZN_L1_MLS");
@@ -1615,11 +1619,14 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
   Matcher M;
   // Lazy/chain levels add the 4-byte near probe; the optimal levels keep
   // it on for their per-block lazy fallback race (L1 stays single-probe
-  // for speed).
+  // for speed). ZN_OPT_ENTRY lowers the DP parser's entry level
+  // (ratio experiments; default 15).
+  const int opt_e = zn_opt_entry();
   if (level >= 2) M.probe4 = true;
   int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : (level >= 9 ? 8 : (level >= 7 ? 4 : 0))));
+  { const char* e = getenv("ZN_DEPTH"); if (e) depth = atoi(e); }
   if (depth) M.enable_chain(prefix_n + n);
-  if (level >= 15) M.enable_bt(prefix_n + n, false);
+  if (level >= opt_e) M.enable_bt(prefix_n + n, false);
   if (g_ldm && level < 15) M.enable_ldm();
   if (prefix_n) {
     // Index the prefix so matches can reach into it.
@@ -1667,7 +1674,7 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
 #ifdef ZN_ENCPROF
     unsigned long long _pt0 = __rdtsc();
 #endif
-    if (level >= 15)
+    if (level >= opt_e)
       parse_block_opt(base, prefix_n + pos, blen, M, reps, seqs, lits, depth);
     else if (level <= 1 && !prefix_n)
       parse_block_l1(base, prefix_n + pos, blen, M, reps, seqs, lits);
@@ -1687,7 +1694,7 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
 #ifdef ZN_ENCPROF
     zn_encprof[2] += __rdtsc() - _pt0;
 #endif
-    if (level >= 15) {
+    if (level >= opt_e) {
       // Price-seeded DP can settle into a degenerate all-literal fixed
       // point on data whose matches are short (numeric/structured text:
       // entropy-coded digits price close to short-match costs). Race the
