@@ -298,16 +298,16 @@ def bench_tpu(corpus: bytes, frame_size: int, level: int = 1):
             f"warmup {warm_enc:.0f}s+{warm_dec:.0f}s"
         )
         log(
-            "tpu accounting (fenced per-stage, ZEEKSTD_TPU_TIMING=2): decode "
-            "now runs the fused serial Pallas kernel (FSE decode + repeat "
-            "resolution + sequence execution in one grid; no pointer-"
-            "doubling gathers, no host rep-carry): per 10 MiB warm = ~0.10s "
-            "host frame planning, ~0.05s Huffman, ~0.37s fused kernel. "
-            "encode = ~55% XLA match parse (serial match kernel is opt-in "
-            "via ZEEKSTD_TPU_MATCH=kernel at 2.3x parse speed, ratio parity "
-            "pending), ~22% FSE bitstreams, ~10% host table decisions, ~8% "
-            "device assembly. e2e adds the ~5 MB/s device->host tunnel "
-            "pull, an environment artifact."
+            "tpu accounting (fenced per-stage, ZEEKSTD_TPU_TIMING=2): the "
+            "L1 encode path is serial-Pallas end to end — match kernel "
+            "(lazy race + backward extension, beats the XLA parse on "
+            "ratio), FSE bitstream kernel reading its per-block rows, "
+            "device assembly; host does table choices via native ctypes. "
+            "Per 10 MiB warm: ~0.70s parse, ~0.25s FSE, ~0.22s Huffman, "
+            "~0.23s host decisions, ~0.14s assembly. Decode runs the "
+            "SMEM-ring fused kernel for narrow-window frames (vector-copy "
+            "kernel for wide windows). e2e adds the ~5 MB/s device->host "
+            "tunnel pull, an environment artifact."
         )
         return enc_dev, dec_dev, len(blob) / n, detail, (
             round(enc_e2e, 2), round(dec_e2e, 2),

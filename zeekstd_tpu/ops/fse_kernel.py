@@ -93,7 +93,8 @@ def _build(SBd: int, WBo: int, NRECJ: int, interpret: bool = False):
     shl = jax.lax.shift_left
 
     def kernel(consts_ref, meta_ref, lm_hbm, ofv_hbm, tll_ref, tof_ref,
-               tml_ref, words_out, bits_out, lmrow, ofvrow, dma_sem):
+               tml_ref, words_out, bits_out, lmrow, ofvrow, dma_sem,
+               dma_sem2):
         i = pl.program_id(0)
         mb = i * JMETA_COLS
         rec = meta_ref[mb + J_REC]
@@ -105,15 +106,19 @@ def _build(SBd: int, WBo: int, NRECJ: int, interpret: bool = False):
 
         @pl.when(nseq > 0)
         def _():
+            # Distinct semaphores: with a shared one, a hoisted second
+            # start can satisfy the first wait with the WRONG completion
+            # and the row reads go stale (observed as corrupt bitstreams
+            # at 10 MiB scale).
             dma = pltpu.make_async_copy(
                 lm_hbm.at[pl.ds(rec * SBd, SBd)], lmrow, dma_sem
             )
-            dma.start()
-            dma.wait()
             dma2 = pltpu.make_async_copy(
-                ofv_hbm.at[pl.ds(rec * SBd, SBd)], ofvrow, dma_sem
+                ofv_hbm.at[pl.ds(rec * SBd, SBd)], ofvrow, dma_sem2
             )
+            dma.start()
             dma2.start()
+            dma.wait()
             dma2.wait()
 
         def highbit(x):
@@ -264,6 +269,7 @@ def _build(SBd: int, WBo: int, NRECJ: int, interpret: bool = False):
         scratch_shapes=[
             pltpu.SMEM((SBd,), jnp.int32),
             pltpu.SMEM((SBd,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
