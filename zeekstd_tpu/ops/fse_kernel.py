@@ -229,9 +229,11 @@ def _build(SBd: int, WBo: int, NRECJ: int, interpret: bool = False):
             acc, n, w = stt
             total = w * 32 + n
 
-            @pl.when(n > 0)
-            def _():
-                words_out[0, shr(w, 12), w & 4095] = acc
+            # Unconditional trailing store: when the stream ends exactly
+            # on a word boundary acc is 0, and the finalizer's sentinel
+            # byte reads THIS word — leaving stale SMEM there corrupted
+            # ~1/32 of blocks (bits % 32 == 0).
+            words_out[0, shr(w, 12), w & 4095] = acc
 
             def zb(s, _):
                 bits_out[0, s >> 6, s & 63] = jnp.where(s == 0, total, 0)
