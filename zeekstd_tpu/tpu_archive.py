@@ -220,7 +220,7 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
     key = ("match_stats_packed", frame_size, seq_bound, B, F)
     if key in _fns:
         return _fns[key]
-    from .codec.sequences import LL_BASE, ML_BASE
+    from .ops import fse_kernel as fk
     from .ops import match_kernel as mk
 
     SBd = BLOCK_SIZE // 4  # max sequences per block (every hit advances >= 4)
@@ -230,19 +230,16 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
         interpret=jax.default_backend() != "tpu",
     )
     BLKW = BLOCK_SIZE // 4
-    ll_base_np = LL_BASE.astype(np.int32)
-    ml_base_np = ML_BASE.astype(np.int32)
+    consts_np = fk.make_consts()
 
     def packed(data_u8, n_valid, meta):
-        ll_base = jnp.asarray(ll_base_np)
-        ml_base = jnp.asarray(ml_base_np)
         # Little-endian words: the kernel's SMEM window + hash reads.
         # Padded to the NRECP bucket so the kernel shape is input-size
         # independent (one Mosaic compile per bucket).
         w = data_u8.reshape(-1, 4).astype(jnp.int32)
         words = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
         words = jnp.pad(words, (0, NRECP * BLKW - words.shape[0]))
-        lm, ofv, litw, stat = kern(meta, words)
+        lm, ofv, litw, stat = kern(jnp.asarray(consts_np), meta, words)
 
         statf = stat[: F * B].reshape(F, B, 512)
         nseq_b = statf[:, :, mk.ST_NSEQ]
@@ -250,6 +247,9 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
         litcnt_b = statf[:, :, mk.ST_LITCNT]
         extrep_b = statf[:, :, mk.ST_EXTREP]
         ovf_b = statf[:, :, mk.ST_OVERFLOW]
+        ll_h = statf[:, :, mk.ST_LLHIST : mk.ST_LLHIST + 36]
+        ml_h = statf[:, :, mk.ST_MLHIST : mk.ST_MLHIST + 53]
+        of_h = statf[:, :, mk.ST_OFHIST : mk.ST_OFHIST + 32]
         lit_h = statf[:, :, mk.ST_LITHIST : mk.ST_LITHIST + 256]
 
         n_seq = jnp.sum(nseq_b, axis=1)
@@ -258,72 +258,6 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
         over = (n_seq > seq_bound) | (jnp.sum(ovf_b, axis=1) > 0)
         n_raw = jnp.where(over, seq_bound + 1, n_seq)
 
-        # Per-frame segment map (which block owns flat sequence j) +
-        # flatten of the per-block rows: scatter-add + cumsum (ties
-        # resolve to the last tied block, which is the non-empty one).
-        def seg_one(first_f):
-            counts = jnp.zeros(seq_bound, jnp.int32).at[first_f].add(
-                1, mode="drop"
-            )
-            return jnp.clip(jnp.cumsum(counts) - 1, 0, B - 1)
-
-        segs = jax.vmap(seg_one)(first)  # (F, seq_bound)
-        j = jnp.arange(seq_bound, dtype=jnp.int32)
-
-        def flat_one(first_f, n_f, fi, seg, rows):
-            src = (fi * B + seg) * SBd + (j - first_f[seg])
-            src = jnp.clip(src, 0, rows.shape[0] * rows.shape[1] - 1)
-            v = rows.reshape(-1)[src]
-            return jnp.where(j < n_f, v, 0)
-
-        fis = jnp.arange(F, dtype=jnp.int32)
-        flat = lambda rows: jax.vmap(
-            lambda ff, nf, fi, sg: flat_one(ff, nf, fi, sg, rows)
-        )(first, n_seq, fis, segs)
-        lmf = flat(lm)
-        adj_ll = lmf >> 16
-        mls = lmf & 0xFFFF
-        ovs = jnp.maximum(flat(ofv), 1)
-
-        # Code columns for the FSE encoder — identical formulas to
-        # _stats_tail_one_frame.
-        of_codes = 31 - jax.lax.clz(ovs)
-        ll_codes = jnp.where(
-            adj_ll < 16,
-            adj_ll,
-            jnp.searchsorted(ll_base, adj_ll, side="right").astype(jnp.int32)
-            - 1,
-        )
-        ml_codes = jnp.where(
-            mls < 35,
-            jnp.maximum(mls - 3, 0),
-            jnp.searchsorted(ml_base, mls, side="right").astype(jnp.int32)
-            - 1,
-        )
-
-        # Per-block code histograms from the flat codes + segment map
-        # (v4 kernels no longer histogram in the scalar loop).
-        valid = j[None, :] < n_seq[:, None]
-
-        def hist_one(codes_f, seg, valid_f, nbins):
-            tgt = jnp.where(valid_f, seg * nbins + codes_f, B * nbins)
-            return (
-                jnp.zeros(B * nbins, jnp.int32)
-                .at[tgt]
-                .add(1, mode="drop")
-                .reshape(B, nbins)
-            )
-
-        ll_h = jax.vmap(lambda c, s, v: hist_one(c, s, v, 36))(
-            ll_codes, segs, valid
-        )
-        ml_h = jax.vmap(lambda c, s, v: hist_one(c, s, v, 53))(
-            ml_codes, segs, valid
-        )
-        of_h = jax.vmap(lambda c, s, v: hist_one(c, s, v, 32))(
-            of_codes, segs, valid
-        )
-
         # Block-strided literal rows: pure byte unpack, zero gathers.
         lw = litw[: F * B].reshape(F, B * BLKW, 1)
         lits = (
@@ -331,7 +265,6 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
         ).astype(jnp.uint8).reshape(F, frame_size)
 
         first_idx = jnp.where(nseq_b > 0, first, seq_bound)
-        pad = lambda a: jnp.pad(a, ((0, 0), (0, seq_bound)))
         stats = jnp.concatenate([
             jnp.stack([n_seq, n_lit, n_raw], axis=1),
             nseq_b, first_idx, mlsum_b, litcnt_b,
@@ -339,11 +272,14 @@ def _match_stats_packed_fn(frame_size: int, seq_bound: int, B: int, F: int):
             of_h.reshape(F, -1), lit_h.reshape(F, -1),
             extrep_b,
         ], axis=1)
-        # lm/ofv ride along flat: the serial FSE-encode kernel reads the
-        # per-block rows directly (ops/fse_kernel.py).
+        # The flat per-frame sequence arrays existed only for the XLA FSE
+        # producer; the serial FSE kernel reads the per-block lm/ofv rows
+        # directly, and the code histograms now come from the match
+        # kernel's post-loop pass — return dummies so XLA never builds
+        # the 2*seq_bound gathers in kernel mode.
+        dummy = jnp.zeros((F, 1), jnp.int32)
         return (
-            pad(adj_ll), pad(mls), pad(ovs),
-            pad(ll_codes), pad(ml_codes), pad(of_codes), lits, stats,
+            dummy, dummy, dummy, dummy, dummy, dummy, lits, stats,
             lm.reshape(-1), ofv.reshape(-1),
         )
 
