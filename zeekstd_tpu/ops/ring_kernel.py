@@ -154,6 +154,27 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
                 ring[j1] = (ring[j1] & ~shr(m, sh2)) | shr(v, sh2)
 
         def copy_lits(src_q, dst, L):
+            # 8 bytes per iteration (3 shared word reads, 2 stores); the
+            # 4-byte tail loop finishes the remainder.
+            def cond8(c):
+                return c + 8 <= L
+
+            def body8(done):
+                q = src_q + done
+                qi = shr(q, 2) - lw_base * 1024
+                s = (q & 3) * 8
+                a = litwin[qi]
+                b = litwin[qi + 1]
+                c2 = litwin[qi + 2]
+                nz = s != 0
+                w0 = jnp.where(nz, shr(a, s) | shl(b, (32 - s) & 31), a)
+                w1 = jnp.where(nz, shr(b, s) | shl(c2, (32 - s) & 31), b)
+                ring_store(dst + done, w0, 4)
+                ring_store(dst + done + 4, w1, 4)
+                return done + 8
+
+            done = jax.lax.while_loop(cond8, body8, jnp.int32(0))
+
             def cond(c):
                 return c < L
 
@@ -162,7 +183,7 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
                 ring_store(dst + done, w, jnp.minimum(4, L - done))
                 return done + 4
 
-            jax.lax.while_loop(cond, body, jnp.int32(0))
+            jax.lax.while_loop(cond, body, done)
 
         def copy_match(dst, off, L):
             """Self-referential copy of L bytes from dst-off; off >= 1.
@@ -183,6 +204,27 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
             done, eo = jax.lax.while_loop(
                 grow_cond, grow_body, (jnp.int32(0), off)
             )
+
+            # 8-byte iterations when the effective offset allows reading
+            # a full 8 bytes behind the write cursor.
+            def cond8(c):
+                return (eo >= 8) & (c + 8 <= L)
+
+            def body8(d):
+                q = dst + d - eo
+                qi = shr(q, 2)
+                s = (q & 3) * 8
+                a = ring[qi & (RW4 - 1)]
+                b = ring[(qi + 1) & (RW4 - 1)]
+                c2 = ring[(qi + 2) & (RW4 - 1)]
+                nz = s != 0
+                w0 = jnp.where(nz, shr(a, s) | shl(b, (32 - s) & 31), a)
+                w1 = jnp.where(nz, shr(b, s) | shl(c2, (32 - s) & 31), b)
+                ring_store(dst + d, w0, 4)
+                ring_store(dst + d + 4, w1, 4)
+                return d + 8
+
+            done = jax.lax.while_loop(cond8, body8, done)
 
             def cond(c):
                 return c < L
