@@ -261,9 +261,22 @@ def bench_tpu(corpus: bytes, frame_size: int, level: int = 1):
             tpu_decompress_archive,
         )
 
+        from zeekstd_tpu import jax_setup
+
         def fence(arr):
             return np.asarray(jnp.sum(arr[..., ::251].astype(jnp.int32)))
 
+        def med_spread(samples):
+            """(median MiB/s, 'median [min-max] xN') over per-rep seconds."""
+            s = sorted(samples)
+            m = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+            rates = sorted(n / x / (1 << 20) for x in samples)
+            return n / m / (1 << 20), (
+                f"{n / m / (1 << 20):.1f} [{rates[0]:.1f}-{rates[-1]:.1f}] "
+                f"x{len(samples)}"
+            )
+
+        reps = max(int(os.environ.get("BENCH_TPU_REPS", "5")), 3)
         n = len(corpus)
         t0 = time.time()
         staged = StagedInput(corpus, frame_size)
@@ -273,15 +286,16 @@ def bench_tpu(corpus: bytes, frame_size: int, level: int = 1):
         fence(rows)
         warm_enc = time.time() - t0
         log(f"tpu encode warmup: {warm_enc:.1f}s")
-        best = 1e9
-        for _ in range(2):
+        samples = []
+        for _ in range(reps):
             t0 = time.time()
             rows, c_sizes, st = tpu_compress_archive(
                 staged, frame_size=frame_size, level=level, return_device=True
             )
             fence(rows)
-            best = min(best, time.time() - t0)
-        enc_dev = n / best / (1 << 20)
+            samples.append(time.time() - t0)
+        enc_dev, enc_sp = med_spread(samples)
+        log(f"tpu ondevice enc MiB/s: {enc_sp}")
 
         t0 = time.time()
         blob, st = tpu_compress_archive(corpus, frame_size=frame_size, level=level)
@@ -292,35 +306,44 @@ def bench_tpu(corpus: bytes, frame_size: int, level: int = 1):
         fence(out_dev)
         warm_dec = time.time() - t0
         log(f"tpu decode warmup: {warm_dec:.1f}s")
-        best = 1e9
-        for _ in range(2):
+        samples = []
+        for _ in range(reps):
             t0 = time.time()
             out_dev, sizes = tpu_decompress_archive(blob, st, return_device=True)
             fence(out_dev)
-            best = min(best, time.time() - t0)
-        dec_dev = n / best / (1 << 20)
+            samples.append(time.time() - t0)
+        dec_dev, dec_sp = med_spread(samples)
+        log(f"tpu ondevice dec MiB/s: {dec_sp}")
 
         t0 = time.time()
         out = tpu_decompress_archive(blob, st)
         dec_e2e = n / (time.time() - t0) / (1 << 20)
         assert out == corpus, "tpu round-trip mismatch"
 
+        # Accounting from the phase timers, never from prose: one extra
+        # fenced run per direction (fencing serializes the pipeline, so it
+        # runs OUTSIDE the throughput reps above).
+        jax_setup.set_timing(2)
+        jax_setup.phase_records.clear()
+        tpu_compress_archive(
+            staged, frame_size=frame_size, level=level, return_device=True
+        )
+        enc_phases = dict(jax_setup.phase_records)
+        jax_setup.phase_records.clear()
+        tpu_decompress_archive(blob, st, return_device=True)
+        dec_phases = dict(jax_setup.phase_records)
+        jax_setup.set_timing(0)
+        fmt = lambda d: ", ".join(
+            f"{k.split('.', 1)[1]} {v:.2f}s" for k, v in
+            sorted(d.items(), key=lambda kv: -kv[1])
+        )
+        log(f"tpu accounting enc (fenced, per {n >> 20} MiB): {fmt(enc_phases)}")
+        log(f"tpu accounting dec (fenced, per {n >> 20} MiB): {fmt(dec_phases)}")
+
         detail = (
-            f"tpu ondevice enc {enc_dev:.1f}/dec {dec_dev:.1f}, "
+            f"tpu ondevice enc {enc_sp}/dec {dec_sp} (median [spread]), "
             f"e2e enc {enc_e2e:.1f}/dec {dec_e2e:.1f}, "
             f"warmup {warm_enc:.0f}s+{warm_dec:.0f}s"
-        )
-        log(
-            "tpu accounting (fenced per-stage, ZEEKSTD_TPU_TIMING=2): the "
-            "L1 encode path is serial-Pallas end to end — match kernel "
-            "(lazy race + backward extension, beats the XLA parse on "
-            "ratio), FSE bitstream kernel reading its per-block rows, "
-            "device assembly; host does table choices via native ctypes. "
-            "Per 10 MiB warm: ~0.70s parse, ~0.25s FSE, ~0.22s Huffman, "
-            "~0.23s host decisions, ~0.14s assembly. Decode runs the "
-            "SMEM-ring fused kernel for narrow-window frames (vector-copy "
-            "kernel for wide windows). e2e adds the ~5 MB/s device->host "
-            "tunnel pull, an environment artifact."
         )
         return enc_dev, dec_dev, len(blob) / n, detail, (
             round(enc_e2e, 2), round(dec_e2e, 2),

@@ -208,6 +208,23 @@ def test_quiet_and_summary(workdir, capsys):
     assert capsys.readouterr().err == ""
 
 
+def test_global_flags_after_subcommand(workdir, capsys):
+    # clap marks -q/--raw-bytes `global = true`: accepted before or after
+    # the subcommand (reference cli/src/args.rs:111-136).
+    assert main(["compress", "-f", "input.txt", "-q"]) == 0
+    assert capsys.readouterr().err == ""
+    assert main(["input.txt", "-q", "-f"]) == 0  # default-compress form
+    assert capsys.readouterr().err == ""
+    assert main(["list", "input.txt.zst", "--raw-bytes"]) == 0
+    out = capsys.readouterr().out
+    import re
+
+    assert re.search(r"\b\d{4,}\b", out)  # raw byte counts, no K/M units
+    # A pre-subcommand flag still wins when the subparser omits it.
+    assert main(["-q", "decompress", "-f", "-o", "out.bin", "input.txt.zst"]) == 0
+    assert capsys.readouterr().err == ""
+
+
 def test_cli_backend_tpu_roundtrip(tmp_path):
     # --backend tpu routes compress/decompress through the batched device
     # archive pipeline (CPU backend in tests; same code path as the chip).

@@ -130,7 +130,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sub = p.add_subparsers(dest="command")
 
+    def add_globals(sp):
+        # Global flags are accepted before OR after the subcommand (clap's
+        # `global = true` behavior, reference cli/src/args.rs:111-136).
+        # SUPPRESS keeps the subparser from clobbering a value the main
+        # parser already set from a pre-subcommand flag.
+        sp.add_argument("-q", "--quiet", action="store_true",
+                        default=argparse.SUPPRESS, help=argparse.SUPPRESS)
+        sp.add_argument("--raw-bytes", action="store_true",
+                        default=argparse.SUPPRESS, help=argparse.SUPPRESS)
+
     def add_common(sp):
+        add_globals(sp)
         sp.add_argument(
             "--backend", choices=["auto", "python", "native", "tpu"],
             default="auto",
@@ -171,6 +182,7 @@ def build_parser() -> argparse.ArgumentParser:
     dec.add_argument("--no-mmap-prefix", dest="mmap_prefix", action="store_false")
 
     lst = sub.add_parser("list", aliases=["l"], help="print seek table information")
+    add_globals(lst)
     lst.add_argument("input", help="seekable archive or standalone seek table")
     lst.add_argument("--from-frame", type=int, default=None)
     ex = lst.add_mutually_exclusive_group()

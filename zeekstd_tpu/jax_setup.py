@@ -71,6 +71,18 @@ def ensure_cache() -> None:
 _TIMING = os.environ.get("ZEEKSTD_TPU_TIMING") in ("1", "2")
 _FENCE = os.environ.get("ZEEKSTD_TPU_TIMING") == "2"
 
+# Phase wall times of the most recent timed run, keyed by phase name
+# (seconds, accumulated across enters). bench.py resets this and reads it
+# back so its accounting line is computed from the timers, never quoted.
+phase_records: dict[str, float] = {}
+
+
+def set_timing(mode: int) -> None:
+    """Programmatically enable phase timing (0=off, 1=wall, 2=fenced)."""
+    global _TIMING, _FENCE
+    _TIMING = mode in (1, 2)
+    _FENCE = mode == 2
+
 
 class phase_timer:
     """``with phase_timer("parse"):`` prints the phase wall time to stderr
@@ -109,8 +121,10 @@ class phase_timer:
                         _np.asarray(a[..., :1])
                     except Exception:
                         pass
+            dt = time.time() - self.t0
+            phase_records[self.name] = phase_records.get(self.name, 0.0) + dt
             print(
-                f"[tpu-timing] {self.name}: {time.time() - self.t0:.3f}s",
+                f"[tpu-timing] {self.name}: {dt:.3f}s",
                 file=sys.stderr,
                 flush=True,
             )
