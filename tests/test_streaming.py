@@ -537,3 +537,69 @@ def test_compressed_policy_native_stream():
     assert b"".join(parts) == data
     dec = DecodeOptions(BytesWrapper(blob)).with_seek_table(st).into_decoder()
     assert dec.read(-1) == data
+
+
+def test_compressed_policy_tpu_backend():
+    """The compressed frame-size policy on the TPU backend (two-pass:
+    pass-1 compressed-size prefix sums pick the cuts, pass 2 compresses
+    the variable-length frames in one batched dispatch via frame_spans).
+    Reference cut rule: a frame completes when its compressed size
+    reaches the threshold (lib/src/encode.rs:537-544); the cuts here
+    come from pass-1 estimates, so non-final frames are asserted within
+    a band of the threshold rather than exactly at it."""
+    data = (INPUT * 3)[: 3 * len(INPUT)]
+    threshold = 6000
+    opts = (
+        EncodeOptions()
+        .with_frame_size_policy(FrameSizePolicy.compressed(threshold))
+        .with_compression_level(1)
+        .with_backend("tpu")
+    )
+    enc = RawEncoder(opts)
+    blob = enc.compress(data) + enc.end_frame()
+    st = enc.into_seek_table()
+    assert st.num_frames >= 3
+    sizes = [st.frame_size_comp(i) for i in range(st.num_frames)]
+    # Pass-1 mini-frame estimates over-count (per-step headers, window
+    # resets), so real frames may land under the threshold — but every
+    # non-final frame must be in its neighborhood, never a degenerate cut.
+    assert all(s >= threshold // 2 for s in sizes[:-1])
+    assert sum(st.frame_size_decomp(i) for i in range(st.num_frames)) == len(data)
+    # Oracle: libzstd decodes every frame; concatenation round-trips.
+    parts = []
+    for i in range(st.num_frames):
+        parts.append(
+            zstd_decompress(
+                blob[st.frame_start_comp(i) : st.frame_end_comp(i)],
+                st.frame_size_decomp(i),
+            )
+        )
+    assert b"".join(parts) == data
+    dec = DecodeOptions(BytesWrapper(blob)).with_seek_table(st).into_decoder()
+    assert dec.read(-1) == data
+
+
+def test_compressed_policy_tpu_streaming_flush():
+    """Compressed-policy TPU encode across multiple compress() calls:
+    buffered input flushes in whole frames; the trailing partial frame
+    only lands at end_frame()."""
+    data = (INPUT * 2)[: 2 * len(INPUT)]
+    opts = (
+        EncodeOptions()
+        .with_frame_size_policy(FrameSizePolicy.compressed(4000))
+        .with_compression_level(1)
+        .with_backend("tpu")
+    )
+    enc = RawEncoder(opts)
+    out = bytearray()
+    step = len(data) // 7 + 1
+    for i in range(0, len(data), step):
+        out += enc.compress(data[i : i + step])
+    out += enc.end_frame()
+    st = enc.into_seek_table()
+    dec = (
+        DecodeOptions(BytesWrapper(bytes(out)))
+        .with_seek_table(st)
+        .into_decoder()
+    )
+    assert dec.read(-1) == data

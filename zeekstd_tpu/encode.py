@@ -287,17 +287,72 @@ class RawEncoder:
             )
         return blob
 
-    def _tpu_compress(self, data) -> bytes:
-        if self.options.frame_size_policy.kind != "uncompressed":
-            raise ValueError(
-                "the tpu backend supports the uncompressed frame-size "
-                "policy only"
+    def _tpu_flush_compressed(self, final: bool) -> bytes:
+        """Compressed frame-size policy on the TPU backend, two-pass
+        (reference cut rule: frame completes when its compressed size
+        reaches the threshold, lib/src/encode.rs:537-544):
+
+        pass 1 compresses the buffered input at step granularity
+        (step = threshold/4, the host FrameEncoder's feed heuristic) to
+        get per-step compressed-size estimates; cut points come from
+        their prefix sums. Pass 2 re-compresses the cut variable-length
+        frames in ONE batched device dispatch via ``frame_spans``.
+        Steps past the last cut stay buffered unless ``final``."""
+        buf = self._tpu_buf
+        if not buf:
+            return b""
+        pol = self.options.frame_size_policy
+        threshold = min(pol.size, SEEKABLE_MAX_FRAME_SIZE)
+        step = max(threshold // 4, 1024)
+        from .tpu_archive import tpu_compress_archive
+
+        chunk = bytes(buf)
+        _, probe_st = tpu_compress_archive(
+            chunk, frame_size=step, checksum=False, level=self.cctx.level
+        )
+        spans = []
+        start = 0
+        cum = 0
+        pos = 0
+        for i in range(probe_st.num_frames):
+            cum += probe_st.frame_size_comp(i)
+            pos += probe_st.frame_size_decomp(i)
+            if cum >= threshold or pos - start >= SEEKABLE_MAX_FRAME_SIZE:
+                spans.append((start, pos - start))
+                start = pos
+                cum = 0
+        if final and start < len(chunk):
+            spans.append((start, len(chunk) - start))
+            start = len(chunk)
+        if not spans:
+            return b""
+        blob, st = tpu_compress_archive(
+            chunk[: spans[-1][0] + spans[-1][1]],
+            checksum=self.cctx.checksum,
+            level=self.cctx.level,
+            frame_spans=spans,
+        )
+        del buf[:start]
+        for i in range(st.num_frames):
+            self._seek_table.log_frame(
+                st.frame_size_comp(i), st.frame_size_decomp(i)
             )
+        return blob
+
+    def _tpu_compress(self, data) -> bytes:
         buf = getattr(self, "_tpu_buf", None)
         if buf is None:
             buf = self._tpu_buf = bytearray()
         buf += bytes(data)
-        fsize = self.options.frame_size_policy.size
+        pol = self.options.frame_size_policy
+        if pol.kind == "compressed":
+            # Two-pass cuts: flush once enough input is buffered that
+            # several frames are all but certain (compressed threshold /
+            # a conservative 10% floor on the ratio).
+            if len(buf) >= max(10 * self.TPU_BATCH_FRAMES * pol.size, 1 << 23):
+                return self._tpu_flush_compressed(final=False)
+            return b""
+        fsize = pol.size
         if len(buf) >= self.TPU_BATCH_FRAMES * fsize:
             return self._tpu_flush(final=False)
         return b""
@@ -308,9 +363,11 @@ class RawEncoder:
         (reference: lib/src/encode.rs:311-355)."""
         if prefix is not None:
             self._prefix = bytes(prefix)
-        if (
-            self.options.backend == "tpu"
-            and self.options.frame_size_policy.kind == "uncompressed"
+        if self.options.backend == "tpu" and (
+            self.options.frame_size_policy.kind == "uncompressed"
+            # Compressed-policy cuts use frame_spans, which cannot carry
+            # a prefix — patch mode keeps the host frame encoder.
+            or not (self._prefix or b"")
         ):
             return self._tpu_compress(data)
         data = memoryview(bytes(data) if not isinstance(data, (bytes, memoryview)) else data)
@@ -346,12 +403,14 @@ class RawEncoder:
     def end_frame(self) -> bytes:
         """Close the current frame and log it in the seek table
         (reference: lib/src/encode.rs:438-472)."""
+        if self.options.backend == "tpu" and getattr(self, "_tpu_buf", None):
+            if self.options.frame_size_policy.kind == "compressed":
+                return self._tpu_flush_compressed(final=True)
+            return self._tpu_flush(final=True)
         if (
             self.options.backend == "tpu"
             and self.options.frame_size_policy.kind == "uncompressed"
         ):
-            if getattr(self, "_tpu_buf", None):
-                return self._tpu_flush(final=True)
             return b""
         out = bytearray()
         if getattr(self, "_inbuf", None):

@@ -766,6 +766,7 @@ def tpu_compress_archive(
     return_device: bool = False,
     level: int = 3,
     prefix: bytes = b"",
+    frame_spans=None,
 ):
     """Compress ``data`` (bytes, or a ``StagedInput`` already resident on
     device) into seekable frames with the batched device pipeline; returns
@@ -781,6 +782,12 @@ def tpu_compress_archive(
     so only the LAST floor(len/BLOCK_SIZE) blocks of the prefix are
     searched — the nearest window, always sound (a decoder referencing
     the full prefix sees identical bytes at those offsets).
+
+    ``frame_spans``: explicit per-frame (start, len) byte spans of
+    ``data`` instead of uniform ``frame_size`` slicing — the
+    compressed frame-size policy's second pass (reference analog:
+    FrameSizePolicy::Compressed cuts, lib/src/encode.rs:537-544) cuts
+    variable-length frames from pass-1 compressed-size prefix sums.
     """
     jax, jnp = _jx()
 
@@ -793,6 +800,8 @@ def tpu_compress_archive(
     prefix_c = prefix[len(prefix) - plen :] if plen else b""
     if plen and staged is not None:
         raise ValueError("StagedInput cannot carry a prefix")
+    if frame_spans is not None and (plen or staged is not None):
+        raise ValueError("frame_spans cannot combine with prefix/StagedInput")
     n = len(data)
     if n == 0:
         from .codec.compress import compress_frame
@@ -802,14 +811,29 @@ def tpu_compress_archive(
         st.log_frame(len(blob), 0)
         return blob, st
 
-    F = -(-n // frame_size)
+    if frame_spans is not None:
+        F = len(frame_spans)
+        # Block-align the row width so the serial match kernel stays
+        # eligible; per-frame valid lengths ride in ``lengths``.
+        frame_size = -(-max(l for _s, l in frame_spans) // BLOCK_SIZE) * BLOCK_SIZE
+    else:
+        F = -(-n // frame_size)
     B = -(-frame_size // BLOCK_SIZE)
     seq_bound = min(1 << 18, max(2048, frame_size // 8))
 
     # Input rows cross the host->device link exactly ONCE (both the parse
     # and the assembler read them; a second jnp.asarray of the same numpy
     # array re-uploads the whole corpus — ~2s per 10 MiB on this tunnel).
-    if plen:
+    if frame_spans is not None:
+        rows = np.zeros((F, frame_size), np.uint8)
+        lengths = np.zeros(F, np.int32)
+        for i, (s, l) in enumerate(frame_spans):
+            rows[i, :l] = np.frombuffer(data[s : s + l], np.uint8)
+            lengths[i] = l
+        frames_dev = jnp.asarray(rows)
+        lengths_dev = jnp.asarray(lengths)
+        frames_shape = (F, frame_size)
+    elif plen:
         # Patch mode: every frame row is prefix‖frame (the prefix is
         # re-referenced at each frame start, like the reference's
         # per-frame ref_prefix).
@@ -974,9 +998,13 @@ def tpu_compress_archive(
     if huf_words is None:
         huf_words, huf_bits = dummy_w, np.zeros(1, np.int32)
 
-    datas = [
-        data[f * frame_size : f * frame_size + int(lengths[f])] for f in range(F)
-    ]
+    if frame_spans is not None:
+        datas = [data[s : s + l] for s, l in frame_spans]
+    else:
+        datas = [
+            data[f * frame_size : f * frame_size + int(lengths[f])]
+            for f in range(F)
+        ]
     plan, d_sizes = _layout_archive(
         datas, blocks, overflow, fse_bits, huf_bits,
         (fse_words.shape[0], fse_words.shape[1] * 4),
