@@ -109,6 +109,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.zn_huf_stream_decode.restype = ctypes.c_int
+        lib.zn_huf_stream_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
         _lib = lib
         return _lib
 
@@ -131,6 +137,30 @@ def huf_table(hist):
     if r < 0:
         return None
     return tree.raw[:r], codes, nb
+
+
+def huf_stream_decode(stream: bytes, sym, nbt, max_bits: int, out_len: int):
+    """Decode one Huffman literal stream with a prebuilt direct table
+    (symbol/nbits uint8 arrays of size 1 << max_bits); returns the
+    decoded bytes as a numpy uint8 array, or None (native unavailable /
+    malformed stream — the caller falls back to the Python decoder)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.frombuffer(stream, np.uint8)
+    sy = np.ascontiguousarray(sym, np.uint8)
+    nb = np.ascontiguousarray(nbt, np.uint8)
+    out = np.empty(out_len, np.uint8)
+    r = lib.zn_huf_stream_decode(
+        s.ctypes.data if len(s) else 0, len(s),
+        sy.ctypes.data, nb.ctypes.data, int(max_bits),
+        out.ctypes.data, out_len,
+    )
+    if r != 0:
+        return None
+    return out
 
 
 def fse_enc_table(norm, accuracy_log: int):

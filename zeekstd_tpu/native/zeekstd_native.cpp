@@ -1086,6 +1086,19 @@ static int zn_opt_entry() {
   static int v = [] { const char* e = getenv("ZN_OPT_ENTRY"); return e ? atoi(e) : 15; }();
   return v;
 }
+// Sequence-density knobs: every emitted sequence costs the TPU decode
+// ring kernel ~400 serial cycles and the FSE stages a table walk, so
+// fewer/longer sequences trade a little ratio for large decode wins.
+// REPMIN = minimum accepted rep-match length; GATE = extra slack added
+// to the hash-match cost gate 6*ml >= 15 + highbit(off) + GATE.
+static int l1_repmin() {
+  static int v = [] { const char* e = getenv("ZN_L1_REPMIN"); return e ? atoi(e) : 4; }();
+  return v;
+}
+static int l1_gate() {
+  static int v = [] { const char* e = getenv("ZN_L1_GATE"); return e ? atoi(e) : 0; }();
+  return v;
+}
 static u64 l1_hmask() {
   static u64 v = [] {
     const char* e = getenv("ZN_L1_MLS");
@@ -1103,6 +1116,7 @@ static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
                            u32 reps[3], std::vector<Seq>& seqs,
                            std::vector<u8>& lits) {
   const int HB = l1_hb(), LAZY = l1_lazy(), P4 = l1_p4(), STRIDE = l1_stride();
+  const int REPMIN = l1_repmin(), GATE = l1_gate();
   const u32 wcap = l1_winlog() >= 30 ? 0x7FFFFFFFu : (1u << l1_winlog());
   const u64 HMASK = l1_hmask();
   const u8* base = src;
@@ -1132,8 +1146,11 @@ static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
     i32 cand = M.table[h];
     M.table[h] = (i32)cur;
     if (cur >= r1 && (u32)w8 == read32(p - r1)) {
-      *off_out = r1;
-      return 4 + match_len(p + 4, p - r1 + 4, mlimit);
+      u32 rl = 4 + match_len(p + 4, p - r1 + 4, mlimit);
+      if ((int)rl >= REPMIN) {
+        *off_out = r1;
+        return rl;
+      }
     }
     u32 bl = 0, bo = 1;
     if (cand >= 0 && cur - cand <= wcap && read32(base + cand) == (u32)w8) {
@@ -1153,7 +1170,7 @@ static void parse_block_l1(const u8* src, size_t pos, size_t len, Matcher& M,
         }
       }
     }
-    if (bl >= 4 && 6 * (int)bl >= 14 + highbit(bo) + 1) {
+    if (bl >= 4 && 6 * (int)bl >= 14 + highbit(bo) + 1 + GATE) {
       *off_out = bo;
       return bl;
     }
@@ -1754,6 +1771,43 @@ extern "C" i64 zn_huf_table(const u32* hist, u8* tree_out, size_t tree_cap,
   for (int s = 0; s < 256; s++) codes_out[s] = t.codes[s];
   memcpy(nb_out, t.nbits, 256);
   return (i64)tree.size();
+}
+
+// One Huffman-coded literal stream, decoded with a caller-provided
+// direct table (symbol/nbits arrays of size 1<<max_bits, the layout the
+// Python codec's build_decode_table produces). Serves the TPU decode
+// pipeline: decoding the literal pool host-side (~us per stream) beats
+// the device round trip by orders of magnitude on this link, and the
+// assembled pool uploads once. Returns 0, or -1 on a malformed stream.
+extern "C" int zn_huf_stream_decode(const u8* stream, size_t sn,
+                                    const u8* sym, const u8* nbt,
+                                    int max_bits, u8* out, size_t on) {
+  if (max_bits < 1 || max_bits > HUF_MAX_BITS) return -1;
+  BitReaderBack br(stream, sn);
+  if (!br.ok) return -1;
+  const int mb = max_bits;
+  size_t i = 0;
+  // Fast path: one 8-byte load serves up to 4 symbols (<= 44 bits).
+  while (i + 4 <= on && br.rem >= 57) {
+    i64 lo = br.rem - 57;
+    u64 w;
+    memcpy(&w, stream + (lo >> 3), 8);
+    w >>= (lo & 7);
+    int cur = 57;
+    for (int k = 0; k < 4; k++) {
+      u32 idx = (u32)((w >> (cur - mb)) & ((1u << mb) - 1));
+      out[i + k] = sym[idx];
+      cur -= nbt[idx];
+    }
+    br.rem -= 57 - cur;
+    i += 4;
+  }
+  for (; i < on; i++) {
+    u32 idx = br.read(mb);
+    br.rem += mb - nbt[idx];
+    out[i] = sym[idx];
+  }
+  return br.rem == 0 ? 0 : -1;
 }
 
 extern "C" int zn_fse_enc_table(const short* norm, int nsym, int log,

@@ -72,7 +72,10 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
     from jax.experimental.pallas import tpu as pltpu
 
     assert OUTB % 4096 == 0 and LITB % 4096 == 0 and WB % 8 == 0
-    assert LW % 1024 == 0 and LITB // 4 + 1024 <= LITW4
+    # Staging window: the whole pool when it fits, else the 136 KiB
+    # sliding window (which must hold any single block's budget).
+    LITW = min(LITW4, LW)
+    assert LW % 1024 == 0 and (LW <= LITW4 or LITB // 4 + 1024 <= LITW)
     OW = OUTB // 4
     OW1K = OW // 1024
     F8 = max(8, F)
@@ -106,7 +109,7 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
         # Stage the literal window when this record could read beyond it.
         litcur0 = state[5]
         lw_base = jnp.minimum(
-            shr(litcur0, 12), jnp.maximum(LW // 1024 - LITW4 // 1024, 0)
+            shr(litcur0, 12), jnp.maximum(LW // 1024 - LITW // 1024, 0)
         )  # 1024-word units
 
         @pl.when(((kind == KIND_SEQ) | (kind == KIND_LIT))
@@ -115,7 +118,7 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
             state[7] = lw_base
             dma = pltpu.make_async_copy(
                 lits_hbm.at[pl.ds((frame * (LW // 1024) + lw_base) * 1024,
-                                  LITW4)],
+                                  LITW)],
                 litwin,
                 dma_sem,
             )
@@ -153,43 +156,80 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
                 sh2 = (32 - s) & 31
                 ring[j1] = (ring[j1] & ~shr(m, sh2)) | shr(v, sh2)
 
+        def lits8(q, dst):
+            """Unconditional 8-byte literal copy (overwrite semantics:
+            bytes past the logical extent are always beyond the output
+            cursor and get overwritten or sliced off)."""
+            qi = shr(q, 2) - lw_base * 1024
+            s = (q & 3) * 8
+            a = litwin[qi]
+            b = litwin[qi + 1]
+            c2 = litwin[qi + 2]
+            nz = s != 0
+            w0 = jnp.where(nz, shr(a, s) | shl(b, (32 - s) & 31), a)
+            w1 = jnp.where(nz, shr(b, s) | shl(c2, (32 - s) & 31), b)
+            ring_store(dst, w0, 4)
+            ring_store(dst + 4, w1, 4)
+
         def copy_lits(src_q, dst, L):
-            # 8 bytes per iteration (3 shared word reads, 2 stores); the
-            # 4-byte tail loop finishes the remainder.
-            def cond8(c):
-                return c + 8 <= L
+            # Fast path: runs of <= 8 bytes (the common case at low
+            # levels) are ONE unconditional 8-byte copy, no loop.
+            @pl.when(L <= 8)
+            def _():
+                lits8(src_q, dst)
 
-            def body8(done):
-                q = src_q + done
-                qi = shr(q, 2) - lw_base * 1024
-                s = (q & 3) * 8
-                a = litwin[qi]
-                b = litwin[qi + 1]
-                c2 = litwin[qi + 2]
-                nz = s != 0
-                w0 = jnp.where(nz, shr(a, s) | shl(b, (32 - s) & 31), a)
-                w1 = jnp.where(nz, shr(b, s) | shl(c2, (32 - s) & 31), b)
-                ring_store(dst + done, w0, 4)
-                ring_store(dst + done + 4, w1, 4)
-                return done + 8
+            @pl.when(L > 8)
+            def _():
+                # 8 bytes per iteration (3 shared word reads, 2 stores);
+                # the 4-byte tail loop finishes the remainder.
+                def cond8(c):
+                    return c + 8 <= L
 
-            done = jax.lax.while_loop(cond8, body8, jnp.int32(0))
+                def body8(done):
+                    lits8(src_q + done, dst + done)
+                    return done + 8
 
-            def cond(c):
-                return c < L
+                done = jax.lax.while_loop(cond8, body8, jnp.int32(0))
 
-            def body(done):
-                w = lit_w(src_q + done)
-                ring_store(dst + done, w, jnp.minimum(4, L - done))
-                return done + 4
+                def cond(c):
+                    return c < L
 
-            jax.lax.while_loop(cond, body, done)
+                def body(done):
+                    w = lit_w(src_q + done)
+                    ring_store(dst + done, w, jnp.minimum(4, L - done))
+                    return done + 4
+
+                jax.lax.while_loop(cond, body, done)
+
+        def ring8(q, dst):
+            """Unconditional 8-byte ring-to-ring copy (q + 7 < write
+            cursor required — overwrite semantics as in lits8)."""
+            qi = shr(q, 2)
+            s = (q & 3) * 8
+            a = ring[qi & (RW4 - 1)]
+            b = ring[(qi + 1) & (RW4 - 1)]
+            c2 = ring[(qi + 2) & (RW4 - 1)]
+            nz = s != 0
+            w0 = jnp.where(nz, shr(a, s) | shl(b, (32 - s) & 31), a)
+            w1 = jnp.where(nz, shr(b, s) | shl(c2, (32 - s) & 31), b)
+            ring_store(dst, w0, 4)
+            ring_store(dst + 4, w1, 4)
 
         def copy_match(dst, off, L):
             """Self-referential copy of L bytes from dst-off; off >= 1.
             Offsets < 4 bootstrap by effective-offset doubling (the
             copied prefix becomes a longer-period source)."""
+            fast = (off >= 8) & (L <= 8)
 
+            @pl.when(fast)
+            def _():
+                ring8(dst - off, dst)
+
+            @pl.when(~fast)
+            def _():
+                _copy_match_slow(dst, off, L)
+
+        def _copy_match_slow(dst, off, L):
             def grow_cond(c):
                 done, eo = c
                 return (eo < 4) & (done < L)
@@ -211,17 +251,7 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
                 return (eo >= 8) & (c + 8 <= L)
 
             def body8(d):
-                q = dst + d - eo
-                qi = shr(q, 2)
-                s = (q & 3) * 8
-                a = ring[qi & (RW4 - 1)]
-                b = ring[(qi + 1) & (RW4 - 1)]
-                c2 = ring[(qi + 2) & (RW4 - 1)]
-                nz = s != 0
-                w0 = jnp.where(nz, shr(a, s) | shl(b, (32 - s) & 31), a)
-                w1 = jnp.where(nz, shr(b, s) | shl(c2, (32 - s) & 31), b)
-                ring_store(dst + d, w0, 4)
-                ring_store(dst + d + 4, w1, 4)
+                ring8(dst + d - eo, dst + d)
                 return d + 8
 
             done = jax.lax.while_loop(cond8, body8, done)
@@ -280,18 +310,46 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
                 ml_e = tml_ref[0, ml_s // 64, ml_s % 64]
                 ll_e = tll_ref[0, ll_s // 64, ll_s % 64]
 
+                # One 128-bit window per sequence: every field this
+                # sequence reads lands in [rem-90, rem) (offset <= 31
+                # bits, ml/ll extras <= 16 each, 3 state refills <= 9
+                # each), which 4 words below rem always cover — the
+                # extractions below are pure ALU, no SMEM loads.
+                bw = jnp.clip(shr(rem, 5) - 3, 0, WB - 4)
+                w0 = words_ref[0, bw // WB8, bw % WB8]
+                w1 = words_ref[0, (bw + 1) // WB8, (bw + 1) % WB8]
+                w2 = words_ref[0, (bw + 2) // WB8, (bw + 2) % WB8]
+                w3 = words_ref[0, (bw + 3) // WB8, (bw + 3) % WB8]
+                wbase = bw * 32
+
+                def ext(rem_, n):
+                    lo = jnp.maximum(rem_ - n - wbase, 0)
+                    ws = shr(lo, 5)
+                    sh = lo & 31
+                    a = jnp.where(
+                        ws == 0, w0,
+                        jnp.where(ws == 1, w1, jnp.where(ws == 2, w2, w3)),
+                    )
+                    b = jnp.where(
+                        ws == 0, w1,
+                        jnp.where(ws == 1, w2, jnp.where(ws == 2, w3, 0)),
+                    )
+                    v = jnp.where(sh == 0, a, shr(a, sh) | shl(b, (32 - sh) & 31))
+                    mask = shl(jnp.int32(1), jnp.clip(n, 0, 31)) - 1
+                    return jnp.where(n <= 0, 0, v & mask)
+
                 of_code = of_e & 0xFF
-                ofv = shl(jnp.int32(1), jnp.clip(of_code, 0, 31)) + read_bits(
+                ofv = shl(jnp.int32(1), jnp.clip(of_code, 0, 31)) + ext(
                     rem, of_code
                 )
                 rem = rem - of_code
                 ml_code = ml_e & 0xFF
                 mlb = consts_ref[3, ml_code]
-                ml = consts_ref[2, ml_code] + read_bits(rem, mlb)
+                ml = consts_ref[2, ml_code] + ext(rem, mlb)
                 rem = rem - mlb
                 ll_code = ll_e & 0xFF
                 llb = consts_ref[1, ll_code]
-                ll = consts_ref[0, ll_code] + read_bits(rem, llb)
+                ll = consts_ref[0, ll_code] + ext(rem, llb)
                 rem = rem - llb
 
                 # Repeat-offset resolution (RFC 8878 3.1.1.3.2.1.1).
@@ -308,13 +366,13 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
                 # FSE state updates (skipped after the block's last seq).
                 upd = j + 1 < nseq
                 llnb = (ll_e >> 8) & 0xFF
-                ll_s2 = (ll_e >> 16) + read_bits(rem, llnb)
+                ll_s2 = (ll_e >> 16) + ext(rem, llnb)
                 rem = rem - jnp.where(upd, llnb, 0)
                 mlnb = (ml_e >> 8) & 0xFF
-                ml_s2 = (ml_e >> 16) + read_bits(rem, mlnb)
+                ml_s2 = (ml_e >> 16) + ext(rem, mlnb)
                 rem = rem - jnp.where(upd, mlnb, 0)
                 ofnb = (of_e >> 8) & 0xFF
-                of_s2 = (of_e >> 16) + read_bits(rem, ofnb)
+                of_s2 = (of_e >> 16) + ext(rem, ofnb)
                 rem = rem - jnp.where(upd, ofnb, 0)
                 ll_s = jnp.where(upd, ll_s2, ll_s)
                 ml_s = jnp.where(upd, ml_s2, ml_s)
@@ -456,7 +514,7 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
         ],
         scratch_shapes=[
             pltpu.SMEM((RW4,), jnp.int32),
-            pltpu.SMEM((LITW4,), jnp.int32),
+            pltpu.SMEM((LITW,), jnp.int32),
             pltpu.SMEM((16,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -1251,15 +1251,11 @@ def tpu_decompress_archive(
     if not plans:
         return b""
 
-    # --- device dispatch 1: all Huffman streams (stay on device) ----------
-    with phase_timer("dec.huf_batch") as _pt:
-        stream_list = []
-        for _, plan, _ in plans:
-            for kind, *args in plan:
-                if kind == "cmp" and "streams" in args[0]:
-                    stream_list.extend(args[0]["streams"])
-        dec_streams, huf_out_bound = _huf_batch_dev(stream_list)
-        _pt.fence(dec_streams)
+    stream_list = []
+    for _, plan, _ in plans:
+        for kind, *args in plan:
+            if kind == "cmp" and "streams" in args[0]:
+                stream_list.extend(args[0]["streams"])
 
     # Collect sequence-bearing blocks (row order shared by all exec paths).
     seq_blocks = []
@@ -1281,13 +1277,20 @@ def tpu_decompress_archive(
     if exec_mode == "fused" or (
         exec_mode not in ("serial", "doubling") and on_tpu
     ):
+        with phase_timer("dec.huf_host"):
+            dec_list = _huf_batch_host(stream_list)
         res = _fused_exec_dispatch(
             blob, plans, frame_rows, seq_blocks,
-            dec_streams, huf_out_bound, seek_table,
+            dec_list, seek_table,
             verify_checksum, return_device,
         )
         if res is not NotImplemented:
             return res
+
+    # --- device dispatch 1 (fallback paths): all Huffman streams ----------
+    with phase_timer("dec.huf_batch") as _pt:
+        dec_streams, huf_out_bound = _huf_batch_dev(stream_list)
+        _pt.fence(dec_streams)
 
     # --- device dispatch 2: all FSE sequence streams (stay on device) -----
     with phase_timer("dec.fse_batch") as _pt2:
@@ -1605,6 +1608,31 @@ def _hasrep_fn(shape):
 
     _fns[key] = jax.jit(fn)
     return _fns[key]
+
+
+def _huf_batch_host(stream_list):
+    """Host-side batch Huffman literal decode (native ctypes; Python
+    codec fallback): returns list[np.uint8] in stream order. The whole
+    pool is a few hundred KB — decoding it host-side (~us/stream) and
+    uploading the assembled pool once beats the device bit-serial
+    dispatch by ~0.2 s per 10 MiB on this link."""
+    from .native import loader
+    from .codec import huffman as huf
+
+    native_ok = loader.available()
+    out = []
+    for sbytes, olen, table in stream_list:
+        dec = None
+        if native_ok and table.max_bits <= 11:
+            dec = loader.huf_stream_decode(
+                sbytes, table.symbol, table.nb_bits, table.max_bits, olen
+            )
+        if dec is None:
+            dec = np.frombuffer(
+                huf.decode_stream(table, sbytes, olen), np.uint8
+            )
+        out.append(dec)
+    return out
 
 
 def _huf_batch_dev(stream_list):
@@ -2081,10 +2109,9 @@ def _fse_stage(seq_blocks):
     return words, starts, tidx, packed, logs_t, word_bound
 
 
-def _fused_exec_fn(WB, LITB, OUTB, NRECP, F, LROWS, words_shape, tab_shape,
-                   static_len, SEGL):
+def _fused_exec_fn(WB, LITB, OUTB, NRECP, F, LROWS, words_shape, tab_shape):
     key = ("fused_exec", WB, LITB, OUTB, NRECP, F, LROWS, words_shape,
-           tab_shape, static_len, SEGL)
+           tab_shape)
     if key in _fns:
         return _fns[key]
     jax, jnp = _jx()
@@ -2094,21 +2121,9 @@ def _fused_exec_fn(WB, LITB, OUTB, NRECP, F, LROWS, words_shape, tab_shape,
         WB, LITB, OUTB, NRECP, F, LROWS,
         interpret=jax.default_backend() != "tpu",
     )
-    LBYTES = LROWS * 128
 
-    def fn(consts, meta, words, tables, lit_dest, lit_base, nlit_f,
-           static_lits, dec_streams):
-        def one(d, b, nv):
-            counts = jnp.zeros(LBYTES, jnp.int32).at[d].add(1, mode="drop")
-            seg = jnp.clip(jnp.cumsum(counts) - 1, 0, d.shape[0] - 1)
-            j = jnp.arange(LBYTES, dtype=jnp.int32)
-            m = b[seg] + (j - d[seg])
-            return jnp.where(j < nv, m, 0)
-
-        lit_map = jax.vmap(one)(lit_dest, lit_base, nlit_f)
-        lit_flat = jnp.concatenate([static_lits, dec_streams.reshape(-1)])
-        lit_map = jnp.clip(lit_map, 0, lit_flat.shape[0] - 1)
-        lits = lit_flat[lit_map].astype(jnp.int32).reshape(F, LROWS, 128)
+    def fn(consts, meta, words, tables, lits_u8):
+        lits = lits_u8.astype(jnp.int32).reshape(F, LROWS, 128)
         out, meta_out = kern(consts, meta, words, tables, lits)
         return out.reshape(F, OUTB), meta_out
 
@@ -2116,45 +2131,23 @@ def _fused_exec_fn(WB, LITB, OUTB, NRECP, F, LROWS, words_shape, tab_shape,
     return _fns[key]
 
 
-def _ring_exec_fn(WB, LITB, OUTB, NRECP, F, LROWS, words_shape, tab_shape,
-                  static_len, SEGL):
-    """Glue for the all-scalar ring decoder (ops/ring_kernel.py): same
-    inputs as _fused_exec_fn, literals packed to words, output words
-    unpacked to bytes."""
-    key = ("ring_exec", WB, LITB, OUTB, NRECP, F, LROWS, words_shape,
-           tab_shape, static_len, SEGL)
+def _ring_exec_fn(WB, LITB, OUTB, NRECP, F, LW, words_shape, tab_shape):
+    """Glue for the all-scalar ring decoder (ops/ring_kernel.py): the
+    literal pool arrives pre-packed as LE words from the host; output
+    words unpack to bytes in one vector op."""
+    key = ("ring_exec", WB, LITB, OUTB, NRECP, F, LW, words_shape,
+           tab_shape)
     if key in _fns:
         return _fns[key]
     jax, jnp = _jx()
     from .ops import ring_kernel as rk
 
-    LBYTES = LROWS * 128
-    LW = max(-(-(LBYTES // 4) // 1024), rk.LITW4 // 1024) * 1024
     kern = rk.get_ring_kernel(
         WB, LITB, OUTB, NRECP, F, LW,
         interpret=jax.default_backend() != "tpu",
     )
 
-    def fn(consts, meta, words, tables, lit_dest, lit_base, nlit_f,
-           static_lits, dec_streams):
-        def one(d, b, nv):
-            counts = jnp.zeros(LBYTES, jnp.int32).at[d].add(1, mode="drop")
-            seg = jnp.clip(jnp.cumsum(counts) - 1, 0, d.shape[0] - 1)
-            j = jnp.arange(LBYTES, dtype=jnp.int32)
-            m = b[seg] + (j - d[seg])
-            return jnp.where(j < nv, m, 0)
-
-        lit_map = jax.vmap(one)(lit_dest, lit_base, nlit_f)
-        lit_flat = jnp.concatenate([static_lits, dec_streams.reshape(-1)])
-        lit_map = jnp.clip(lit_map, 0, lit_flat.shape[0] - 1)
-        litb = lit_flat[lit_map].reshape(F, LBYTES // 4, 4).astype(jnp.int32)
-        lit_words = (
-            litb[..., 0] | (litb[..., 1] << 8) | (litb[..., 2] << 16)
-            | (litb[..., 3] << 24)
-        )
-        lit_words = jnp.pad(
-            lit_words, ((0, 0), (0, LW - lit_words.shape[1]))
-        )
+    def fn(consts, meta, words, tables, lit_words):
         outw, meta_out = kern(consts, meta, words, tables, lit_words)
         shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)
         out = (
@@ -2189,23 +2182,28 @@ def _fused_decode_frames(blob, spans, verify_checksum=True):
                 rows.append(len(seq_blocks))
                 seq_blocks.append(args[0])
         frame_rows.append(rows)
-    dec_streams, huf_out_bound = _huf_batch_dev(stream_list)
+    dec_list = _huf_batch_host(stream_list)
     return _fused_exec_dispatch(
         blob, plans, frame_rows, seq_blocks,
-        dec_streams, huf_out_bound, None, verify_checksum, False,
+        dec_list, None, verify_checksum, False,
         return_parts=True,
     )
 
 
 def _fused_exec_dispatch(
     blob, plans, frame_rows, seq_blocks,
-    dec_streams, huf_out_bound, seek_table,
+    dec_list, seek_table,
     verify_checksum, return_device,
     prefixes=None, return_parts=False,
 ):
     """Decode every planned frame through the fused FSE+exec kernel —
     the FSE batch dispatch is skipped entirely. NotImplemented on guard
     failure (counted).
+
+    ``dec_list``: host-decoded Huffman literal streams in plan order
+    (``_huf_batch_host``); the per-frame literal pools are assembled on
+    the host and uploaded once — no device Huffman dispatch, no
+    index-map glue.
 
     ``prefixes``: optional per-frame ref_prefix bytes (DCtx::ref_prefix,
     reference lib/src/decode.rs:212-214) — each rides as a leading
@@ -2272,9 +2270,8 @@ def _fused_exec_dispatch(
             logs_t = np.zeros(1, np.int32)
             word_bound = 16
 
-        static_lits = bytearray()
         frames_blocks = []
-        lit_segs = [[] for _ in range(F)]
+        pool_parts = [[] for _ in range(F)]  # per-frame literal buffers
         si = 0
         bi_global = 0
         for fi, (hdr, plan, _) in enumerate(plans):
@@ -2283,8 +2280,7 @@ def _fused_exec_dispatch(
             if plens[fi]:
                 # ref_prefix as a leading pseudo literal run: match
                 # offsets reach into it as ordinary output history.
-                lit_segs[fi].append((len(static_lits), plens[fi], True))
-                static_lits += prefixes[fi]
+                pool_parts[fi].append(np.frombuffer(prefixes[fi], np.uint8))
                 blocks.append(("lit", plens[fi]))
             for kind, *args in plan:
                 if kind == "raw":
@@ -2293,8 +2289,7 @@ def _fused_exec_dispatch(
                         _serial_fallbacks["count"] += 1
                         _serial_fallbacks["reason"] = "oversize raw block"
                         return NotImplemented
-                    lit_segs[fi].append((len(static_lits), len(data_b), True))
-                    static_lits += data_b
+                    pool_parts[fi].append(np.frombuffer(data_b, np.uint8))
                     blocks.append(("lit", len(data_b)))
                 elif kind == "rle":
                     blocks.append(("rle", args[1], args[0]))
@@ -2303,15 +2298,12 @@ def _fused_exec_dispatch(
                     if "streams" in d:
                         chunk_len = 0
                         for _sb, olen, _t in d["streams"]:
-                            lit_segs[fi].append(
-                                (si * huf_out_bound, olen, False)
-                            )
+                            pool_parts[fi].append(dec_list[si])
                             si += 1
                             chunk_len += olen
                     else:
                         lb = d.get("lit_bytes", b"")
-                        lit_segs[fi].append((len(static_lits), len(lb), True))
-                        static_lits += lb
+                        pool_parts[fi].append(np.frombuffer(lb, np.uint8))
                         chunk_len = len(lb)
                     if chunk_len > SERIAL_LITB:
                         _serial_fallbacks["count"] += 1
@@ -2338,50 +2330,53 @@ def _fused_exec_dispatch(
 
         OUTB = 1 << max((max_bound - 1).bit_length(), 12)
         LITB = SERIAL_LITB
-        LRWS = LITB // 128 + 1
         nlit_f = np.zeros(F, np.int32)
+        pools = []
         for fi in range(F):
-            nlit_f[fi] = sum(g[1] for g in lit_segs[fi])
-        LROWS = 1 << max((int(nlit_f.max()) // 128 + LRWS).bit_length(), 1)
-        SEGL = 1 << max(
-            (max((len(lit_segs[fi]) for fi in range(F)), default=1) - 1
-             ).bit_length(), 2,
-        )
-        LBYTES = LROWS * 128
-        sp = 1 << max((len(static_lits) - 1).bit_length()
-                      if static_lits else 0, 7)
-        static_np = np.zeros(sp, np.uint8)
-        static_np[: len(static_lits)] = np.frombuffer(
-            bytes(static_lits), np.uint8
-        )
-        lit_dest = np.full((F, SEGL), LBYTES, np.int32)
-        lit_base = np.zeros((F, SEGL), np.int32)
-        for fi in range(F):
-            off = 0
-            for k, (src, ln, is_static) in enumerate(lit_segs[fi]):
-                lit_dest[fi, k] = off
-                lit_base[fi, k] = src if is_static else sp + src
-                off += ln
+            pool = (
+                np.concatenate(pool_parts[fi])
+                if pool_parts[fi] else np.zeros(0, np.uint8)
+            )
+            pools.append(pool)
+            nlit_f[fi] = len(pool)
+        nlit_max = int(nlit_f.max()) if F else 0
 
     with phase_timer("dec.fused_exec") as _pt:
         # Frame-count bucketing: every other kernel dimension is already
         # a power-of-two bucket, so padding F keeps the Mosaic compile
         # key input-size independent (padded frames own no records).
         F_pad = 1 << max((F - 1).bit_length(), 2)
-        pad_f = ((0, F_pad - F), (0, 0))
-        mk_fn = _ring_exec_fn if use_ring else _fused_exec_fn
-        fn = mk_fn(
-            word_bound, LITB, OUTB, meta.shape[0], F_pad, LROWS,
-            tuple(words.shape), tuple(packed.shape), sp, SEGL,
-        )
+        if use_ring:
+            # Literal pool rows as packed LE words, padded to a
+            # 1024-word multiple (the kernel's staging granularity) plus
+            # slack for the 8-byte over-reads.
+            LW = max(-(-(nlit_max + 64) // 4096), 1) * 1024
+            litw_np = np.zeros((F_pad, LW * 4), np.uint8)
+            for fi in range(F):
+                litw_np[fi, : nlit_f[fi]] = pools[fi]
+            lit_dev = jnp.asarray(
+                np.ascontiguousarray(litw_np).view(np.int32)
+            )
+            fn = _ring_exec_fn(
+                word_bound, LITB, OUTB, meta.shape[0], F_pad, LW,
+                tuple(words.shape), tuple(packed.shape),
+            )
+        else:
+            LRWS = LITB // 128 + 1
+            LROWS = 1 << max((nlit_max // 128 + LRWS).bit_length(), 1)
+            lits_np = np.zeros((F_pad, LROWS * 128), np.uint8)
+            for fi in range(F):
+                lits_np[fi, : nlit_f[fi]] = pools[fi]
+            lit_dev = jnp.asarray(lits_np)
+            fn = _fused_exec_fn(
+                word_bound, LITB, OUTB, meta.shape[0], F_pad, LROWS,
+                tuple(words.shape), tuple(packed.shape),
+            )
         # The kernel reads words as int32 scalars (logical shifts).
         out_dev, meta_out = fn(
             jnp.asarray(dk.make_consts()), jnp.asarray(meta),
             jnp.asarray(words.view(np.int32)), jnp.asarray(packed),
-            jnp.asarray(np.pad(lit_dest, pad_f)),
-            jnp.asarray(np.pad(lit_base, pad_f)),
-            jnp.asarray(np.pad(nlit_f, (0, F_pad - F))),
-            jnp.asarray(static_np), dec_streams,
+            lit_dev,
         )
         _pt.fence(out_dev)
 

@@ -821,7 +821,7 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
         exec_mode not in ("serial", "doubling")
         and jax.default_backend() == "tpu"
     ):
-        from .tpu_archive import _fused_exec_dispatch, _huf_batch_dev
+        from .tpu_archive import _fused_exec_dispatch, _huf_batch_host
 
         stream_list = []
         rows = []
@@ -832,10 +832,10 @@ def tpu_decompress_frame(frame: bytes, pos: int = 0, verify_checksum: bool = Tru
             if kind == "cmp" and args[0].get("nseq", 0) > 0:
                 rows.append(len(seq_blocks_f))
                 seq_blocks_f.append(args[0])
-        dec_streams, huf_out_bound = _huf_batch_dev(stream_list)
+        dec_list = _huf_batch_host(stream_list)
         res = _fused_exec_dispatch(
             frame, [(hdr, plan, fpos)], [rows], seq_blocks_f,
-            dec_streams, huf_out_bound, None, verify_checksum, False,
+            dec_list, None, verify_checksum, False,
             prefixes=[prefix] if prefix else None,
         )
         if res is not NotImplemented:
