@@ -391,6 +391,37 @@ def _huf_blocks_fn(seg_bound: int, word_bound: int):
     return _fns[key]
 
 
+def _entropy_fn(SBd, WBo, NRECJ, seg_bound, hword_bound, lits_shape):
+    """ONE jitted program for both entropy dispatches of the kernel
+    encode path: the serial Pallas FSE encoder and the vmapped Huffman
+    stream encoder. Merging them halves the dispatch fences of the
+    entropy stage and drops one executable from the warmup set."""
+    key = ("entropy", SBd, WBo, NRECJ, seg_bound, hword_bound, lits_shape)
+    if key in _fns:
+        return _fns[key]
+    jax, jnp = _jx()
+    from .ops import fse_kernel as fk
+
+    kern = fk.get_fse_kernel(
+        SBd, WBo, NRECJ, interpret=jax.default_backend() != "tpu"
+    )
+    huf_one = _huf_one_stream(seg_bound, hword_bound)
+    consts = np.asarray(fk.make_consts())
+
+    def fn(meta_j, lm_flat, ofv_flat, pool,
+           lits_d, hfidx, hstarts, hns, hcodes, hnbs):
+        fse_words, fse_bits = kern(
+            jnp.asarray(consts), meta_j, lm_flat, ofv_flat, pool
+        )
+        huf_words, huf_bits = jax.vmap(huf_one)(
+            lits_d[hfidx], hstarts, hns, hcodes, hnbs
+        )
+        return fse_words, fse_bits, huf_words, huf_bits
+
+    _fns[key] = jax.jit(fn)
+    return _fns[key]
+
+
 def _loader_huf_table(hist):
     """Native Huffman tree/table build (ctypes) — the Python
     package-merge + FSE weight writer were ~70% of host_decisions."""
@@ -932,22 +963,40 @@ def tpu_compress_archive(
     _t_fse = phase_timer("enc.fse_dispatch").__enter__()
     fse_words = None
     fse_bits = None
+    merged_huf = False
     if fse_jobs and lm_flat is not None:
         # Serial Pallas FSE encoder over the match kernel's per-block
         # rows (~40 scalar ops/sequence vs ~0.8 s/10 MiB of XLA scan).
-        from .ops import fse_kernel as fk
-
+        # The Huffman stream batch rides in the SAME jitted program when
+        # present: one executable (warmup) and one dispatch fence
+        # (per-run) instead of two.
         meta_j, pool, NRECJ = _fse_kernel_inputs(fse_jobs, B)
         SBd = BLOCK_SIZE // 4
         # pow2 word bound (SMEM tiling): >= SBd * 88 bits / 32
         WBo = 1 << (((SBd * 88) // 32 + 16) - 1).bit_length()
-        kern = fk.get_fse_kernel(
-            SBd, WBo, NRECJ, interpret=jax.default_backend() != "tpu"
-        )
-        fse_words, fse_bits = kern(
-            jnp.asarray(fk.make_consts()), jnp.asarray(meta_j),
-            lm_flat, ofv_flat, jnp.asarray(pool),
-        )
+        if huf_jobs:
+            hin, seg_bound, hword_bound = _huf_inputs(huf_jobs)
+            fn = _entropy_fn(
+                SBd, WBo, NRECJ, seg_bound, hword_bound,
+                tuple(lits_d.shape),
+            )
+            fse_words, fse_bits, huf_words, huf_bits = fn(
+                jnp.asarray(meta_j), lm_flat, ofv_flat, jnp.asarray(pool),
+                lits_d, jnp.asarray(hin["fidx"]),
+                jnp.asarray(hin["starts"]), jnp.asarray(hin["ns"]),
+                jnp.asarray(hin["codes"]), jnp.asarray(hin["nbs"]),
+            )
+            merged_huf = True
+        else:
+            from .ops import fse_kernel as fk
+
+            kern = fk.get_fse_kernel(
+                SBd, WBo, NRECJ, interpret=jax.default_backend() != "tpu"
+            )
+            fse_words, fse_bits = kern(
+                jnp.asarray(fk.make_consts()), jnp.asarray(meta_j),
+                lm_flat, ofv_flat, jnp.asarray(pool),
+            )
         _t_fse.fence(fse_words)
     elif fse_jobs:
         fin, SB, word_bound = _fse_inputs(fse_jobs, seq_bound)
@@ -965,18 +1014,20 @@ def tpu_compress_archive(
         _t_fse.fence(fse_words)
     _t_fse.__exit__()
 
-    # --- dispatch 3: Huffman streams (words stay on device) ---------------
+    # --- dispatch 3: Huffman streams (words stay on device; merged into
+    # dispatch 2 on the kernel path) ---------------------------------------
     _t_huf = phase_timer("enc.huf_dispatch").__enter__()
-    huf_words = None
-    huf_bits = None
-    if huf_jobs:
-        hin, seg_bound, word_bound = _huf_inputs(huf_jobs)
-        fn = _huf_blocks_fn(seg_bound, word_bound)
-        huf_words, huf_bits = fn(
-            lits_d[hin["fidx"]], jnp.asarray(hin["starts"]), jnp.asarray(hin["ns"]),
-            jnp.asarray(hin["codes"]), jnp.asarray(hin["nbs"]),
-        )
-        _t_huf.fence(huf_words)
+    if not merged_huf:
+        huf_words = None
+        huf_bits = None
+        if huf_jobs:
+            hin, seg_bound, word_bound = _huf_inputs(huf_jobs)
+            fn = _huf_blocks_fn(seg_bound, word_bound)
+            huf_words, huf_bits = fn(
+                lits_d[hin["fidx"]], jnp.asarray(hin["starts"]), jnp.asarray(hin["ns"]),
+                jnp.asarray(hin["codes"]), jnp.asarray(hin["nbs"]),
+            )
+            _t_huf.fence(huf_words)
     _t_huf.__exit__()
 
     # One round trip for both small bit-count arrays (each separate pull on
