@@ -114,3 +114,59 @@ def test_query_routing():
     )
     assert results[0] == data[5000:9000]
     assert results[1] == data[30_000:70_000]
+
+
+def test_mesh_fused_kernel_path_roundtrip(monkeypatch):
+    """The mesh decode's kernel path (ZEEKSTD_TPU_MESH_EXEC=fused — the
+    TPU default) dispatches the SAME fused serial kernels as the
+    single-chip decoder, sharded per device, and round-trips our own
+    archives bit-exactly (checksums verified host-side)."""
+    monkeypatch.setenv("ZEEKSTD_TPU_MESH_EXEC", "fused")
+    data = text_data(120_000)
+    mesh = make_mesh()
+    blob, st = parallel_compress(data, mesh, frame_size=16_384, checksum=True)
+    from zeekstd_tpu.parallel.pipeline import DECODE_FALLBACKS
+
+    before = DECODE_FALLBACKS["frames"]
+    out = parallel_decompress(blob, st, mesh)
+    assert out == data
+    assert DECODE_FALLBACKS["frames"] == before
+
+
+@pytest.mark.parametrize("level", [1, 3, 9])
+def test_mesh_fused_foreign_zero_fallbacks(monkeypatch, level):
+    """libzstd-written archives decode through the mesh kernel path with
+    ZERO fallbacks: the fused kernel resolves repeat offsets exactly
+    in-order, so cross-block rep history (which forced the doubling
+    path's redo pass) needs no special handling (round-4 verdict #5)."""
+    from .oracle import zstd_compress
+    from zeekstd_tpu.parallel.pipeline import DECODE_FALLBACKS
+    from zeekstd_tpu.seek_table import SeekTable
+
+    monkeypatch.setenv("ZEEKSTD_TPU_MESH_EXEC", "fused")
+    data = text_data(90_000) + structured_data(60_000)
+    fsize = 24_000
+    frames = []
+    for i in range(0, len(data), fsize):
+        frames.append(zstd_compress(data[i : i + fsize], level=level))
+    blob = b"".join(frames)
+    st = SeekTable.from_frames(
+        (len(f), min(fsize, len(data) - i * fsize))
+        for i, f in enumerate(frames)
+    )
+    mesh = make_mesh()
+    before = DECODE_FALLBACKS["frames"]
+    out = parallel_decompress(blob, st, mesh)
+    assert out == data
+    assert DECODE_FALLBACKS["frames"] == before, "foreign frames fell back"
+
+
+def test_mesh_fused_random_access(monkeypatch):
+    """frame_ids subsets route through the kernel path too."""
+    monkeypatch.setenv("ZEEKSTD_TPU_MESH_EXEC", "fused")
+    data = structured_data(100_000)
+    mesh = make_mesh()
+    blob, st = parallel_compress(data, mesh, frame_size=16_384)
+    got = parallel_decompress(blob, st, mesh, frame_ids=[1, 4])
+    assert got[1] == data[16_384 * 1 : 16_384 * 2]
+    assert got[4] == data[16_384 * 4 : 16_384 * 5]

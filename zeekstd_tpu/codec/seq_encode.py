@@ -38,6 +38,7 @@ from .sequences import (
 )
 
 _DEFAULT_ENC_TABLES = {}
+_PRICE_CACHE = {}  # (id(norm), log) -> (price vec, zero mask, len)
 
 
 def _default_enc_table(category: str):
@@ -103,23 +104,45 @@ def _choose_table(codes, category: str, default_norm, default_log, max_code, max
     hc = hist[: max_code + 1].astype(np.float64)
     present = hc > 0
 
-    def _table_bits(tbl_norm, tbl_log):
-        """(cost_bits, covers_all) for coding ``hist`` with a table whose
-        normalized counts are ``tbl_norm``; -1 entries cost ~tbl_log+1 bits
-        (p = 0.5 of a state's worth, the serial loops' 0.5 convention).
-        Sliced, not padded: np.pad was ~25% of the host-decision phase."""
-        tn = np.asarray(tbl_norm, dtype=np.float64)
-        m = min(len(tn), max_code + 1)
+    def _price_of(tbl_norm, tbl_log, cache_obj=None):
+        """Per-symbol price vector (tbl_log - log2(p), with -1 entries at
+        p = 0.5) and zero-count mask for a table — CONSTANT per table, so
+        cached on the table object (repeat mode) or by identity
+        (predefined norms): recomputing log2 per block was ~40% of the
+        host-decision phase."""
+        if cache_obj is not None:
+            got = getattr(cache_obj, "_price_cache", None)
+            if got is not None:
+                return got
+        # Module-constant norms (the predefined tables) cache by identity;
+        # a fresh per-block norm list must NOT (id() reuse after gc).
+        key = (id(tbl_norm), tbl_log) if tbl_norm is default_norm else None
+        got = _PRICE_CACHE.get(key) if key is not None else None
+        if got is None:
+            tn = np.asarray(tbl_norm, dtype=np.float64)
+            p = np.where(tn > 0, tn, 0.5)
+            got = (tbl_log - np.log2(p), tn == 0, len(tn))
+            if key is not None:
+                _PRICE_CACHE[key] = got
+        if cache_obj is not None:
+            cache_obj._price_cache = got
+        return got
+
+    def _table_bits(tbl_norm, tbl_log, cache_obj=None):
+        """cost_bits for coding ``hist`` with a table whose normalized
+        counts are ``tbl_norm``, or None when a present symbol is outside
+        the table's reach."""
+        price, zero, m = _price_of(tbl_norm, tbl_log, cache_obj)
+        if m > max_code + 1:
+            price = price[: max_code + 1]
+            zero = zero[: max_code + 1]
+            m = max_code + 1
         if np.any(present[m:]):
             return None  # present symbols beyond the table's reach
-        tnm = tn[:m]
         prm = present[:m]
-        if np.any(prm & (tnm == 0)):
+        if np.any(prm & zero):
             return None
-        p = np.where(tnm > 0, tnm, 0.5)
-        return float(
-            np.sum(np.where(prm, hc[:m] * (tbl_log - np.log2(p)), 0.0))
-        )
+        return float(np.dot(np.where(prm, hc[:m], 0.0), price))
 
     # Predefined cost: -log2(p) per symbol; -1 entries cost accuracy_log bits.
     pred_bits = _table_bits(default_norm, default_log)
@@ -139,7 +162,9 @@ def _choose_table(codes, category: str, default_norm, default_log, max_code, max
     # Repeat-mode cost: previous block's table, no description bytes.
     rep_bits = None
     if prev_table is not None and prev_table.accuracy_log > 0:
-        rep_bits = _table_bits(prev_table.norm, prev_table.accuracy_log)
+        rep_bits = _table_bits(
+            prev_table.norm, prev_table.accuracy_log, cache_obj=prev_table
+        )
 
     best = min(
         x

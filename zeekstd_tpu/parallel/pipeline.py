@@ -624,6 +624,297 @@ def _sharded_decode_fn(mesh, shapes_key, out_bound):
     return _sh_fns[key]
 
 
+def _parallel_fused_decode(mesh, archive, seek_table, frame_ids, plans, all_ids):
+    """Mesh-sharded decode through the SAME serial kernels as the
+    single-chip path (ops/ring_kernel.py for narrow windows,
+    ops/decode_kernel.py otherwise): each device runs the fused
+    FSE + sequence-execution kernel over ITS frames in one shard_map
+    dispatch, literal pools host-decoded and uploaded sharded. Repeat
+    offsets resolve exactly in-order inside the kernel, so foreign
+    (libzstd-written) archives need NO rep-history redo pass —
+    DECODE_FALLBACKS stays 0 for them. Returns the results (bytes or
+    dict) or NotImplemented on a guard failure (the doubling path then
+    serves the call).
+
+    Default on real TPUs; ZEEKSTD_TPU_MESH_EXEC=fused forces it (the
+    interpret-mode mesh tests), =doubling disables it. Reference
+    analog: frame independence is the whole parallel story
+    (seekable_format.md:25-27)."""
+    import os as _os
+
+    jax, jnp = _jax()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..errors import checksum_wrong, corruption_detected
+    from ..ops import decode_kernel as dk
+    from ..ops import ring_kernel as rk
+    from ..tpu_archive import (
+        FUSED_WB_CAP,
+        SERIAL_LITB,
+        SERIAL_OUTB_CAP,
+        _fused_exec_fn,
+        _huf_batch_host,
+        _ring_exec_fn,
+        _serial_fallbacks,
+    )
+    from ..tpu_codec import _words_from_bytes
+    from ..xxhash64 import XXH64
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    F = len(plans)
+    F_pad = -(-F // D) * D
+    F_loc = F_pad // D
+
+    bounds = [
+        seek_table.frame_size_decomp(fid) for fid in frame_ids
+    ]
+    max_bound = max(bounds + [1])
+    ring_env = _os.environ.get("ZEEKSTD_TPU_RING", "")
+    use_ring = ring_env != "0" and all(
+        (hdr.window_size or 0) <= rk.RING for hdr, _p, _c in plans
+    )
+    if ring_env != "1" and jax.default_backend() != "tpu":
+        use_ring = False
+    if max_bound > (1 << 27):
+        use_ring = False
+    if not use_ring and max_bound > SERIAL_OUTB_CAP:
+        _serial_fallbacks["count"] += 1
+        _serial_fallbacks["reason"] = f"mesh frame bound {max_bound} over cap"
+        return NotImplemented
+    OUTB = 1 << max((max_bound - 1).bit_length(), 12)
+
+    # Host-decoded Huffman literal pools (plan order).
+    stream_list = []
+    for _h, plan, _c in plans:
+        for kind, *args in plan:
+            if kind == "cmp" and "streams" in args[0]:
+                stream_list.extend(args[0]["streams"])
+    dec_list = _huf_batch_host(stream_list)
+
+    # Per-device staging of sequence blocks at common bounds.
+    dev_of = lambda slot: slot // F_loc
+    dev_seq = [[] for _ in range(D)]
+    for slot, (_h, plan, _c) in enumerate(plans):
+        for kind, *args in plan:
+            if kind == "cmp" and args[0].get("nseq", 0) > 0:
+                dev_seq[dev_of(slot)].append(args[0])
+    word_bound = 1 << max(
+        ((max((len(d["payload"]) for ds in dev_seq for d in ds), default=4)
+          + 3) // 4).bit_length(), 4,
+    )
+    if word_bound > FUSED_WB_CAP:
+        _serial_fallbacks["count"] += 1
+        _serial_fallbacks["reason"] = "mesh bitstream over SMEM cap"
+        return NotImplemented
+    Bp = 1 << max((max((len(ds) for ds in dev_seq), default=1) - 1
+                   ).bit_length(), 1)
+    words = np.zeros((D, Bp, word_bound), np.uint32)
+    starts = np.zeros((D, Bp), np.int32)
+    tidx = np.zeros((D, Bp, 3), np.int32)
+    logs_b = np.zeros((D, Bp), np.int32)
+    dev_tables = [[] for _ in range(D)]
+    dev_tbl_of = [{} for _ in range(D)]
+    row_of_desc = {}
+    for d in range(D):
+        for k, desc in enumerate(dev_seq[d]):
+            w, sb = _words_from_bytes(desc["payload"], word_bound)
+            words[d, k] = w
+            starts[d, k] = sb
+            ll_t, of_t, ml_t = desc["tables"]
+            tis = []
+            for t in (ll_t, of_t, ml_t):
+                ti = dev_tbl_of[d].get(id(t))
+                if ti is None:
+                    ti = dev_tbl_of[d][id(t)] = len(dev_tables[d])
+                    dev_tables[d].append(t)
+                tis.append(ti)
+            tidx[d, k] = tis
+            logs_b[d, k] = (
+                ll_t.accuracy_log | of_t.accuracy_log << 5
+                | ml_t.accuracy_log << 10
+            )
+            row_of_desc[id(desc)] = (d, k)
+    Tp = 1 << max((max((len(t) for t in dev_tables), default=1) - 1
+                   ).bit_length(), 1)
+    packed = np.zeros((D, Tp, 512), np.int32)
+    for d in range(D):
+        for ti, t in enumerate(dev_tables[d]):
+            size = 1 << t.accuracy_log
+            packed[d, ti, :size] = (
+                t.symbol.astype(np.int32)
+                | (t.nb_bits.astype(np.int32) << 8)
+                | (t.baseline.astype(np.int32) << 16)
+            )
+
+    # Per-device frame records + per-slot literal pools.
+    si = 0
+    pool_parts = [[] for _ in range(F_pad)]
+    dev_frames_blocks = [[] for _ in range(D)]
+    for slot, (hdr, plan, _c) in enumerate(plans):
+        d = dev_of(slot)
+        blocks = []
+        for kind, *args in plan:
+            if kind == "raw":
+                data_b = args[0]
+                if len(data_b) > SERIAL_LITB:
+                    _serial_fallbacks["count"] += 1
+                    _serial_fallbacks["reason"] = "mesh oversize raw block"
+                    return NotImplemented
+                pool_parts[slot].append(np.frombuffer(data_b, np.uint8))
+                blocks.append(("lit", len(data_b)))
+            elif kind == "rle":
+                blocks.append(("rle", args[1], args[0]))
+            else:
+                dd = args[0]
+                if "streams" in dd:
+                    chunk_len = 0
+                    for _sb, olen, _t in dd["streams"]:
+                        pool_parts[slot].append(dec_list[si])
+                        si += 1
+                        chunk_len += olen
+                else:
+                    lb = dd.get("lit_bytes", b"")
+                    pool_parts[slot].append(np.frombuffer(lb, np.uint8))
+                    chunk_len = len(lb)
+                if chunk_len > SERIAL_LITB:
+                    _serial_fallbacks["count"] += 1
+                    _serial_fallbacks["reason"] = "mesh oversize literal budget"
+                    return NotImplemented
+                n = dd.get("nseq", 0)
+                if n == 0:
+                    blocks.append(("lit", chunk_len))
+                else:
+                    _d2, k = row_of_desc[id(dd)]
+                    blocks.append((
+                        "seq", k, n, chunk_len,
+                        int(tidx[d, k, 0]), int(tidx[d, k, 1]),
+                        int(tidx[d, k, 2]), int(logs_b[d, k]),
+                        int(starts[d, k]),
+                    ))
+        dev_frames_blocks[d].append(blocks)
+    for slot in range(F, F_pad):
+        dev_frames_blocks[dev_of(slot)].append([])
+
+    metas = []
+    for d in range(D):
+        m, _n = dk.build_records(dev_frames_blocks[d])
+        metas.append(m)
+    NRECP = max(m.shape[0] for m in metas)
+    meta = np.zeros((D, NRECP, dk.META_COLS), np.int32)
+    meta[:, :, dk.M_KIND] = dk.KIND_NOP
+    for d in range(D):
+        meta[d, : metas[d].shape[0]] = metas[d]
+
+    nlit = np.zeros(F_pad, np.int32)
+    pools = []
+    for slot in range(F_pad):
+        pool = (
+            np.concatenate(pool_parts[slot])
+            if pool_parts[slot] else np.zeros(0, np.uint8)
+        )
+        pools.append(pool)
+        nlit[slot] = len(pool)
+    nlit_max = int(nlit.max()) if F_pad else 0
+
+    interp = jax.default_backend() != "tpu"
+    consts_np = np.asarray(dk.make_consts())
+    if use_ring:
+        LW = max(-(-(nlit_max + 64) // 4096), 1) * 1024
+        litw_np = np.zeros((F_pad, LW * 4), np.uint8)
+        for slot in range(F_pad):
+            litw_np[slot, : nlit[slot]] = pools[slot]
+        lit_np = np.ascontiguousarray(litw_np).view(np.int32)
+        kern = rk.get_ring_kernel(
+            word_bound, SERIAL_LITB, OUTB, NRECP, F_loc, LW,
+            interpret=interp,
+        )
+    else:
+        LRWS = SERIAL_LITB // 128 + 1
+        LROWS = 1 << max((nlit_max // 128 + LRWS).bit_length(), 1)
+        lit_np = np.zeros((F_pad, LROWS * 128), np.uint8)
+        for slot in range(F_pad):
+            lit_np[slot, : nlit[slot]] = pools[slot]
+        kern = dk.get_decode_kernel(
+            word_bound, SERIAL_LITB, OUTB, NRECP, F_loc, LROWS,
+            interpret=interp,
+        )
+
+    def per_device(meta_d, words_d, tables_d, lits_d):
+        # shard_map keeps the mesh axis at local size 1 on inputs.
+        meta_d, words_d, tables_d, lits_d = (
+            meta_d[0], words_d[0], tables_d[0], lits_d[0]
+        )
+        consts = jnp.asarray(consts_np)
+        if use_ring:
+            outw, meta_out = kern(
+                consts, meta_d.reshape(NRECP, dk.META_COLS),
+                words_d, tables_d, lits_d,
+            )
+            shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)
+            out = (
+                (outw[..., None] >> shifts) & 0xFF
+            ).astype(jnp.uint8).reshape(F_loc, OUTB)
+        else:
+            lits = lits_d.astype(jnp.int32).reshape(F_loc, LROWS, 128)
+            out, meta_out = kern(
+                consts, meta_d.reshape(NRECP, dk.META_COLS),
+                words_d, tables_d, lits,
+            )
+            out = out.reshape(F_loc, OUTB)
+        return out, meta_out
+
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    fn = jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    ))
+    out_rows, meta_out = fn(
+        jax.device_put(jnp.asarray(meta), sh(axis, None, None)),
+        jax.device_put(
+            jnp.asarray(words.view(np.int32)), sh(axis, None, None)
+        ),
+        jax.device_put(jnp.asarray(packed), sh(axis, None, None)),
+        jax.device_put(
+            jnp.asarray(lit_np.reshape(D, F_loc, -1)), sh(axis, None, None)
+        ),
+    )
+
+    meta_np = np.asarray(meta_out)
+    F8 = meta_np.shape[0] // D
+    rows = np.asarray(out_rows)
+    results = {}
+    for slot, fid in enumerate(frame_ids):
+        hdr, _p, cpos = plans[slot]
+        d, fi = dev_of(slot), slot % F_loc
+        mrow = meta_np[d * F8 + fi]
+        total, bad, litc = int(mrow[0]), int(mrow[1]), int(mrow[2])
+        if bad:
+            raise corruption_detected(
+                "match offset beyond window or literal overrun"
+            )
+        if litc != nlit[slot]:
+            raise corruption_detected("literal budget mismatch")
+        if hdr.content_size is not None and total != hdr.content_size:
+            raise corruption_detected("frame content size mismatch")
+        if total != bounds[slot]:
+            raise corruption_detected("frame size disagrees with seek table")
+        result = rows[slot, :total].tobytes()
+        if hdr.has_checksum:
+            stored = int.from_bytes(archive[cpos : cpos + 4], "little")
+            h = XXH64(0)
+            h.update(result)
+            if (h.digest() & 0xFFFF_FFFF) != stored:
+                raise checksum_wrong("content checksum mismatch")
+        results[fid] = result
+    if all_ids:
+        return b"".join(results[i] for i in frame_ids)
+    return results
+
+
 def parallel_decompress(
     archive: bytes, seek_table: SeekTable, mesh=None, frame_ids=None
 ):
@@ -672,6 +963,21 @@ def parallel_decompress(
                 f"records {seek_table.frame_size_comp(i)}"
             )
         plans.append((hdr_i, plan_i, fpos_i))
+
+    # Kernel-backed mesh decode (default on TPU): the same fused serial
+    # kernels as the single-chip path, sharded per device; exact in-order
+    # repeat resolution means foreign archives need no redo pass.
+    import os as _os
+
+    mesh_exec = _os.environ.get("ZEEKSTD_TPU_MESH_EXEC", "")
+    if mesh_exec == "fused" or (
+        mesh_exec != "doubling" and jax.default_backend() == "tpu"
+    ):
+        res = _parallel_fused_decode(
+            mesh, archive, seek_table, frame_ids, plans, all_ids
+        )
+        if res is not NotImplemented:
+            return res
 
     # Detect cross-block repeat usage (foreign archives): fall back.
     for hdr, plan, _ in plans:
