@@ -170,3 +170,40 @@ def test_mesh_fused_random_access(monkeypatch):
     got = parallel_decompress(blob, st, mesh, frame_ids=[1, 4])
     assert got[1] == data[16_384 * 1 : 16_384 * 2]
     assert got[4] == data[16_384 * 4 : 16_384 * 5]
+
+
+def test_mesh_kernel_encode_equals_serial(monkeypatch):
+    """ZEEKSTD_TPU_MATCH=kernel (the TPU default at level 1): mesh encode
+    dispatches the SAME serial match + FSE kernels as single-chip
+    tpu_compress_archive, per device — and produces the byte-identical
+    archive (per-frame kernel output is independent of other frames:
+    hash-table entries are frame-tagged, host table decisions chain per
+    frame). Round-4 verdict #5: mesh encode on the kernels."""
+    monkeypatch.setenv("ZEEKSTD_TPU_MATCH", "kernel")
+    from zeekstd_tpu.tpu_archive import tpu_compress_archive
+
+    data = text_data(300_000) + structured_data(100_000)
+    fsize = 128 << 10
+    mesh = make_mesh()
+    blob_p, st_p = parallel_compress(data, mesh, frame_size=fsize, level=1)
+    blob_s, st_s = tpu_compress_archive(data, frame_size=fsize, level=1)
+    assert blob_p == blob_s
+    assert [st_p.frame_size_comp(i) for i in range(st_p.num_frames)] == [
+        st_s.frame_size_comp(i) for i in range(st_s.num_frames)
+    ]
+    # And the libzstd oracle decodes the mesh-kernel archive bit-exactly.
+    assert zstd_decompress(blob_p) == data
+
+
+def test_mesh_kernel_encode_fused_decode_cycle(monkeypatch):
+    """Full kernel cycle on the mesh: kernel-parse encode, ring/fused
+    kernel decode, checksums on."""
+    monkeypatch.setenv("ZEEKSTD_TPU_MATCH", "kernel")
+    monkeypatch.setenv("ZEEKSTD_TPU_MESH_EXEC", "fused")
+    data = structured_data(250_000)
+    mesh = make_mesh()
+    blob, st = parallel_compress(
+        data, mesh, frame_size=64 << 10, level=1, checksum=True
+    )
+    out = parallel_decompress(blob, st, mesh)
+    assert out == data

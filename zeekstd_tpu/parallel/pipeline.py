@@ -17,11 +17,15 @@ pod the same program runs over a DCN-spanning mesh; each process stages
 its addressable shard and the gather is what moves remote entries/bytes to
 every host.
 
-Decompression shards frames the same way: every device runs the fused
-Huffman + FSE + sequence-execution program for its local frames in one
+Decompression shards frames the same way: every device runs the SAME
+fused serial kernels as the single-chip decoder (ring kernel for narrow
+windows, vector-copy kernel otherwise) for its local frames in one
 dispatch; outputs stay sharded (each host reads its addressable rows).
-Foreign frames that thread repeat-offset history across blocks fall back
-to the single-device batched decoder (our encoder never emits them).
+Repeat offsets resolve exactly in-order inside the kernel, so foreign
+frames that thread rep history across blocks decode on the mesh with no
+fallback. Encode at level 1 likewise dispatches the serial match + FSE
+kernels per device and produces archives byte-identical to the
+single-chip path (per-frame kernel output is frame-independent).
 
 Random access routes (offset, limit) queries to owning frames/devices via
 the replicated seek table (``route_queries``), decodes only the touched
@@ -241,6 +245,174 @@ def _allmax(value: int) -> int:
     return int(np.max(multihost_utils.process_allgather(np.int64(value))))
 
 
+def _kernel_parse_entropy(mesh, frames_d, lengths_d, lengths, my_devs, D,
+                          F_loc, frame_size, seq_bound, B, sh1, sh2):
+    """Sharded kernel-path parse + entropy for ``parallel_compress``
+    (level 1): each device runs the serial Pallas match kernel over its
+    frames, the host makes per-device table decisions from the pulled
+    stats, and one sharded dispatch runs the serial FSE-encode kernel +
+    vmapped Huffman streams per device — the same kernels, in the same
+    order, as single-chip ``tpu_compress_archive``. Returns the
+    variables the shared layout/assemble tail consumes."""
+    jax, jnp = _jax()
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import fse_kernel as fk
+    from ..ops import match_kernel as mk
+    from ..tpu_archive import (
+        BLOCK_SIZE,
+        _fse_kernel_inputs,
+        _host_jobs,
+        _huf_inputs,
+        _huf_one_stream,
+        _match_stats_packed_fn,
+        _unpack_stats,
+    )
+
+    axis = mesh.axis_names[0]
+    interp = jax.default_backend() != "tpu"
+
+    # --- dispatch 1 (sharded): serial match kernel parse ------------------
+    NRECP = mk.bucket_nrecp(F_loc * B)
+    metas = [
+        mk.build_records(
+            F_loc, B, BLOCK_SIZE, frame_size,
+            lengths[d * F_loc : (d + 1) * F_loc], n_pad=NRECP,
+        )
+        for d in my_devs
+    ]
+    meta_all = jax.make_array_from_process_local_data(
+        sh2, np.concatenate(metas, axis=0).astype(np.int32),
+        (D * NRECP, mk.META_COLS),
+    )
+    pk = _match_stats_packed_fn(frame_size, seq_bound, B, F_loc)
+    key = ("kparse", _mesh_key(mesh), frame_size, seq_bound, B, F_loc)
+    if key not in _sh_fns:
+        _sh_fns[key] = jax.jit(jax.shard_map(
+            lambda fr, ln, me: pk(fr, ln, me),
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis, None)),
+            out_specs=tuple([P(axis, None)] * 8 + [P(axis), P(axis)]),
+            check_vma=False,
+        ))
+    (_d1, _d2, _d3, _d4, _d5, _d6, lits_d, stats_sh,
+     lm_sh, ofv_sh) = _sh_fns[key](frames_d, lengths_d, meta_all)
+
+    # --- host: per-LOCAL-device decisions from the pulled stats -----------
+    stats_np, _first = _local_rows(stats_sh)
+    overflow = np.zeros(len(my_devs) * F_loc, bool)
+    dev_jobs = []
+    for li, d in enumerate(my_devs):
+        s = _unpack_stats(stats_np[li * F_loc : (li + 1) * F_loc], B)
+        ovf = s["n_raw"] > seq_bound
+        overflow[li * F_loc : (li + 1) * F_loc] = ovf
+        blocks, huf_jobs, fse_jobs = _host_jobs(
+            F_loc, lengths[d * F_loc : (d + 1) * F_loc], ovf,
+            s["seq_cnt"], s["first_idx"], s["litcnt"],
+            s["ll_hist"], s["ml_hist"], s["of_hist"], s["lit_hist"],
+            lit_stride=BLOCK_SIZE, extrep=s.get("extrep"),
+        )
+        dev_jobs.append((blocks, huf_jobs, fse_jobs))
+
+    # --- dispatch 2 (sharded): FSE kernel + Huffman streams ---------------
+    SBd = BLOCK_SIZE // 4
+    WBo = 1 << (((SBd * 88) // 32 + 16) - 1).bit_length()
+    staged = [_fse_kernel_inputs(fj, B) for _b, _h, fj in dev_jobs]
+    NRECJ = 1 << max(
+        (_allmax(max(m.shape[0] for m, _p, _n in staged)) - 1).bit_length(), 2
+    )
+    Tp = 1 << max(
+        (_allmax(max(p.shape[0] for _m, p, _n in staged)) - 1).bit_length(), 1
+    )
+    meta_js = np.zeros((len(my_devs), NRECJ, staged[0][0].shape[1]), np.int32)
+    pools = np.zeros((len(my_devs), Tp, 1024), np.int32)
+    for li, (m, p, _n) in enumerate(staged):
+        meta_js[li, : m.shape[0]] = m
+        pools[li, : p.shape[0]] = p
+
+    seg = 1
+    for _b, hj, _f in dev_jobs:
+        if hj:
+            seg = max(seg, max(j[2] for j in hj))
+    seg_bound = 1 << max((_allmax(seg) - 1).bit_length(), 4)
+    NJp = max(
+        1 << max(
+            (_allmax(max(len(hj) for _b, hj, _f in dev_jobs)) - 1
+             ).bit_length(), 2,
+        ), 4,
+    )
+    huf_wb = None
+    huf_stacks = []
+    for _b, hj, _f in dev_jobs:
+        if hj:
+            hin, _sb, huf_wb = _huf_inputs(hj, seg_bound=seg_bound, pad_to=NJp)
+        else:
+            hin = {
+                "fidx": np.zeros(NJp, np.int32),
+                "starts": np.zeros(NJp, np.int32),
+                "ns": np.ones(NJp, np.int32),
+                "codes": np.zeros((NJp, 256), np.uint32),
+                "nbs": np.zeros((NJp, 256), np.int32),
+            }
+        huf_stacks.append(hin)
+    if huf_wb is None:
+        huf_wb = (seg_bound * 12) // 32 + 8
+    huf_in = {
+        k: jax.make_array_from_process_local_data(
+            sh2 if v.ndim == 2 else sh1,
+            np.concatenate([h[k] for h in huf_stacks], axis=0),
+            (D * NJp,) + v.shape[1:],
+        )
+        for k, v in huf_stacks[0].items()
+    }
+    meta_j_all = jax.make_array_from_process_local_data(
+        sh2, meta_js.reshape(-1, meta_js.shape[2]),
+        (D * NRECJ, meta_js.shape[2]),
+    )
+    pool_all = jax.make_array_from_process_local_data(
+        sh2, pools.reshape(-1, 1024), (D * Tp, 1024)
+    )
+
+    kern = fk.get_fse_kernel(SBd, WBo, NRECJ, interpret=interp)
+    huf_stream = _huf_one_stream(seg_bound, huf_wb)
+    consts_np = np.asarray(fk.make_consts())
+
+    def entropy_dev(meta_j, lm, ofv, pool, lits, hin):
+        fw, fb = kern(jnp.asarray(consts_np), meta_j, lm, ofv, pool)
+        hw, hb = jax.vmap(
+            lambda j: huf_stream(
+                lits[j["fidx"]], j["starts"], j["ns"], j["codes"], j["nbs"]
+            )
+        )(hin)
+        return fw, fb, hw, hb
+
+    ekey = ("kentropy", _mesh_key(mesh), SBd, WBo, NRECJ, Tp, seg_bound,
+            huf_wb, NJp, F_loc, frame_size)
+    if ekey not in _sh_fns:
+        huf_spec = {
+            "fidx": P(axis), "starts": P(axis), "ns": P(axis),
+            "codes": P(axis, None), "nbs": P(axis, None),
+        }
+        _sh_fns[ekey] = jax.jit(jax.shard_map(
+            entropy_dev, mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis),
+                      P(axis, None), P(axis, None), huf_spec),
+            out_specs=(P(axis, None), P(axis), P(axis, None), P(axis)),
+            check_vma=False,
+        ))
+    fse_w, fse_b, huf_w, huf_b = _sh_fns[ekey](
+        meta_j_all, lm_sh, ofv_sh, pool_all, lits_d, huf_in
+    )
+    fse_b_np, _ = _local_rows(fse_b)
+    fse_b_np = fse_b_np.reshape(len(my_devs), NRECJ)
+    huf_b_np, _ = _local_rows(huf_b)
+    huf_b_np = huf_b_np.reshape(len(my_devs), NJp)
+    fse_wb = fse_w.shape[1]
+    return (lits_d, dev_jobs, overflow,
+            fse_w, fse_b, huf_w, huf_b, fse_b_np, huf_b_np,
+            NRECJ, fse_wb, NJp, huf_wb)
+
+
 def parallel_compress(
     data: bytes,
     mesh=None,
@@ -317,123 +489,151 @@ def parallel_compress(
         sh1, lengths[p_lo_f:p_hi_f], (F_pad,)
     )
 
-    # --- dispatch 1 (sharded): parse + stats ------------------------------
-    step = parallel_parse_step(mesh, frame_size, seq_bound, level)
-    out = step(frames_d, lengths_d)
-    (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d,
-     n_seq, n_lit, n_raw,
-     seq_cnt, first_idx, ml_sum, litcnt,
-     ll_hist, ml_hist, of_hist, lit_hist) = out
+    # Kernel parse path (level-1 TPU default): the SAME serial Pallas
+    # match kernel + FSE-encode kernel as single-chip tpu_compress_archive,
+    # sharded per device. ZEEKSTD_TPU_MATCH=kernel forces it (interpret
+    # tests), =xla restores the XLA sort/gather parse.
+    import os as _os
 
-    # Host pulls touch only this process's shard rows.
-    n_raw_np, _ = _local_rows(n_raw)
-    seq_cnt_np, _ = _local_rows(seq_cnt)
-    first_np, _ = _local_rows(first_idx)
-    litcnt_np, _ = _local_rows(litcnt)
-    ll_h, _ = _local_rows(ll_hist)
-    ml_h, _ = _local_rows(ml_hist)
-    of_h, _ = _local_rows(of_hist)
-    lit_h, _ = _local_rows(lit_hist)
-    overflow = n_raw_np > seq_bound
-
-    # --- host: per-LOCAL-device job batches (common padded shapes) --------
-    dev_jobs = []
-    for li, d in enumerate(my_devs):
-        lo, hi = li * F_loc, (li + 1) * F_loc  # rows within the local pull
-        blocks, huf_jobs, fse_jobs = _host_jobs(
-            F_loc, lengths[d * F_loc : (d + 1) * F_loc], overflow[lo:hi],
-            seq_cnt_np[lo:hi], first_np[lo:hi], litcnt_np[lo:hi],
-            ll_h[lo:hi], ml_h[lo:hi], of_h[lo:hi], lit_h[lo:hi],
+    match_mode = _os.environ.get("ZEEKSTD_TPU_MATCH", "")
+    use_kernel = (
+        level == 1
+        and frame_size % BLOCK_SIZE == 0
+        and frame_size <= (8 << 20)
+        and F_loc * frame_size < (1 << 31)
+        and (
+            match_mode == "kernel"
+            or (match_mode != "xla" and jax.default_backend() == "tpu")
         )
-        dev_jobs.append((blocks, huf_jobs, fse_jobs))
+    )
+    window_cap = None
+    if use_kernel:
+        res = _kernel_parse_entropy(
+            mesh, frames_d, lengths_d, lengths, my_devs, D, F_loc,
+            frame_size, seq_bound, B, sh1, sh2,
+        )
+        (lits_d, dev_jobs, overflow,
+         fse_w, fse_b, huf_w, huf_b, fse_b_np, huf_b_np,
+         NBp, fse_wb, NJp, huf_wb) = res
+        window_cap = 1 << 19
+    else:
+        # --- dispatch 1 (sharded): parse + stats --------------------------
+        step = parallel_parse_step(mesh, frame_size, seq_bound, level)
+        out = step(frames_d, lengths_d)
+        (adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d,
+         n_seq, n_lit, n_raw,
+         seq_cnt, first_idx, ml_sum, litcnt,
+         ll_hist, ml_hist, of_hist, lit_hist) = out
+
+        # Host pulls touch only this process's shard rows.
+        n_raw_np, _ = _local_rows(n_raw)
+        seq_cnt_np, _ = _local_rows(seq_cnt)
+        first_np, _ = _local_rows(first_idx)
+        litcnt_np, _ = _local_rows(litcnt)
+        ll_h, _ = _local_rows(ll_hist)
+        ml_h, _ = _local_rows(ml_hist)
+        of_h, _ = _local_rows(of_hist)
+        lit_h, _ = _local_rows(lit_hist)
+        overflow = n_raw_np > seq_bound
+
+        # --- host: per-LOCAL-device job batches (common padded shapes) ----
+        dev_jobs = []
+        for li, d in enumerate(my_devs):
+            lo, hi = li * F_loc, (li + 1) * F_loc  # rows in the local pull
+            blocks, huf_jobs, fse_jobs = _host_jobs(
+                F_loc, lengths[d * F_loc : (d + 1) * F_loc], overflow[lo:hi],
+                seq_cnt_np[lo:hi], first_np[lo:hi], litcnt_np[lo:hi],
+                ll_h[lo:hi], ml_h[lo:hi], of_h[lo:hi], lit_h[lo:hi],
+            )
+            dev_jobs.append((blocks, huf_jobs, fse_jobs))
 
     # Shared static bounds: every process must agree (they shape the SPMD
     # dispatches), so local maxima cross DCN once via process_allgather.
-    SB = 1
-    for _b, _h, fj in dev_jobs:
-        if fj:
-            SB = max(SB, max(d["nseq"] for d in fj))
-    SB = min(1 << max((_allmax(SB) - 1).bit_length(), 1), seq_bound)
-    NBp = max(
-        1 << max((_allmax(max(len(fj) for _b, _h, fj in dev_jobs)) - 1).bit_length(), 2), 4
-    )
-    seg = 1
-    for _b, hj, _f in dev_jobs:
-        if hj:
-            seg = max(seg, max(j[2] for j in hj))
-    seg_bound = 1 << max((_allmax(seg) - 1).bit_length(), 4)
-    NJp = max(
-        1 << max((_allmax(max(len(hj) for _b, hj, _f in dev_jobs)) - 1).bit_length(), 2), 4
-    )
+        SB = 1
+        for _b, _h, fj in dev_jobs:
+            if fj:
+                SB = max(SB, max(d["nseq"] for d in fj))
+        SB = min(1 << max((_allmax(SB) - 1).bit_length(), 1), seq_bound)
+        NBp = max(
+            1 << max((_allmax(max(len(fj) for _b, _h, fj in dev_jobs)) - 1).bit_length(), 2), 4
+        )
+        seg = 1
+        for _b, hj, _f in dev_jobs:
+            if hj:
+                seg = max(seg, max(j[2] for j in hj))
+        seg_bound = 1 << max((_allmax(seg) - 1).bit_length(), 4)
+        NJp = max(
+            1 << max((_allmax(max(len(hj) for _b, hj, _f in dev_jobs)) - 1).bit_length(), 2), 4
+        )
 
-    fse_stacks, huf_stacks = [], []
-    fse_wb = huf_wb = None
-    for blocks, huf_jobs, fse_jobs in dev_jobs:
-        if fse_jobs:
-            fin, _SB, fse_wb = _fse_inputs(fse_jobs, seq_bound, SB=SB, pad_to=NBp)
-        else:
-            fin = {
-                k: np.zeros(
-                    (NBp, 64) if k.endswith(("_dn", "_df")) else
-                    (NBp, 512) if k.endswith("_st") else (NBp,),
-                    np.int32,
-                )
-                for k in (
-                    "fidx", "first", "nseq", "ll_dn", "ll_df", "ll_st",
-                    "ml_dn", "ml_df", "ml_st", "of_dn", "of_df", "of_st",
-                    "llog", "mlog", "olog",
-                )
-            }
-            fin["of_st"] = np.zeros((NBp, 256), np.int32)
-            fin["nseq"][:] = 1
-            fse_wb = fse_wb or ((SB * 64) // 32 + 16)
-        fse_stacks.append(fin)
-        if huf_jobs:
-            hin, _sb, huf_wb = _huf_inputs(huf_jobs, seg_bound=seg_bound, pad_to=NJp)
-        else:
-            hin = {
-                "fidx": np.zeros(NJp, np.int32),
-                "starts": np.zeros(NJp, np.int32),
-                "ns": np.ones(NJp, np.int32),
-                "codes": np.zeros((NJp, 256), np.uint32),
-                "nbs": np.zeros((NJp, 256), np.int32),
-            }
-            huf_wb = huf_wb or ((seg_bound * 12) // 32 + 8)
-        huf_stacks.append(hin)
-    if fse_wb is None:
-        fse_wb = (SB * 64) // 32 + 16
-    if huf_wb is None:
-        huf_wb = (seg_bound * 12) // 32 + 8
+        fse_stacks, huf_stacks = [], []
+        fse_wb = huf_wb = None
+        for blocks, huf_jobs, fse_jobs in dev_jobs:
+            if fse_jobs:
+                fin, _SB, fse_wb = _fse_inputs(fse_jobs, seq_bound, SB=SB, pad_to=NBp)
+            else:
+                fin = {
+                    k: np.zeros(
+                        (NBp, 64) if k.endswith(("_dn", "_df")) else
+                        (NBp, 512) if k.endswith("_st") else (NBp,),
+                        np.int32,
+                    )
+                    for k in (
+                        "fidx", "first", "nseq", "ll_dn", "ll_df", "ll_st",
+                        "ml_dn", "ml_df", "ml_st", "of_dn", "of_df", "of_st",
+                        "llog", "mlog", "olog",
+                    )
+                }
+                fin["of_st"] = np.zeros((NBp, 256), np.int32)
+                fin["nseq"][:] = 1
+                fse_wb = fse_wb or ((SB * 64) // 32 + 16)
+            fse_stacks.append(fin)
+            if huf_jobs:
+                hin, _sb, huf_wb = _huf_inputs(huf_jobs, seg_bound=seg_bound, pad_to=NJp)
+            else:
+                hin = {
+                    "fidx": np.zeros(NJp, np.int32),
+                    "starts": np.zeros(NJp, np.int32),
+                    "ns": np.ones(NJp, np.int32),
+                    "codes": np.zeros((NJp, 256), np.uint32),
+                    "nbs": np.zeros((NJp, 256), np.int32),
+                }
+                huf_wb = huf_wb or ((seg_bound * 12) // 32 + 8)
+            huf_stacks.append(hin)
+        if fse_wb is None:
+            fse_wb = (SB * 64) // 32 + 16
+        if huf_wb is None:
+            huf_wb = (seg_bound * 12) // 32 + 8
 
-    def stack(dicts):
-        return {
-            k: np.concatenate([dd[k] for dd in dicts], axis=0) for k in dicts[0]
+        def stack(dicts):
+            return {
+                k: np.concatenate([dd[k] for dd in dicts], axis=0) for k in dicts[0]
+            }
+
+        fse_in = {
+            k: jax.make_array_from_process_local_data(
+                sh2 if v.ndim == 2 else sh1, v,
+                (D * (v.shape[0] // len(my_devs)),) + v.shape[1:],
+            )
+            for k, v in stack(fse_stacks).items()
+        }
+        huf_in = {
+            k: jax.make_array_from_process_local_data(
+                sh2 if v.ndim == 2 else sh1, v,
+                (D * (v.shape[0] // len(my_devs)),) + v.shape[1:],
+            )
+            for k, v in stack(huf_stacks).items()
         }
 
-    fse_in = {
-        k: jax.make_array_from_process_local_data(
-            sh2 if v.ndim == 2 else sh1, v,
-            (D * (v.shape[0] // len(my_devs)),) + v.shape[1:],
+        # --- dispatch 2+3 (sharded): entropy streams --------------------------
+        enc = _sharded_encode_fn(mesh, SB, fse_wb, seg_bound, huf_wb, None)
+        fse_w, fse_b, huf_w, huf_b = enc(
+            adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, fse_in, huf_in
         )
-        for k, v in stack(fse_stacks).items()
-    }
-    huf_in = {
-        k: jax.make_array_from_process_local_data(
-            sh2 if v.ndim == 2 else sh1, v,
-            (D * (v.shape[0] // len(my_devs)),) + v.shape[1:],
-        )
-        for k, v in stack(huf_stacks).items()
-    }
-
-    # --- dispatch 2+3 (sharded): entropy streams --------------------------
-    enc = _sharded_encode_fn(mesh, SB, fse_wb, seg_bound, huf_wb, None)
-    fse_w, fse_b, huf_w, huf_b = enc(
-        adj_ll, mls_d, ovs_d, llc_d, mlc_d, ofc_d, lits_d, fse_in, huf_in
-    )
-    fse_b_np, _ = _local_rows(fse_b)
-    fse_b_np = fse_b_np.reshape(len(my_devs), NBp)
-    huf_b_np, _ = _local_rows(huf_b)
-    huf_b_np = huf_b_np.reshape(len(my_devs), NJp)
+        fse_b_np, _ = _local_rows(fse_b)
+        fse_b_np = fse_b_np.reshape(len(my_devs), NBp)
+        huf_b_np, _ = _local_rows(huf_b)
+        huf_b_np = huf_b_np.reshape(len(my_devs), NJp)
 
     # --- host: per-LOCAL-device byte-exact layout (common bounds) ---------
     def dev_datas(d):
@@ -460,6 +660,7 @@ def parallel_compress(
             fse_b_np[li], huf_b_np[li],
             (NBp, fse_wb * 4), (NJp, huf_wb * 4),
             (F_loc, lits_d.shape[1]), (F_loc, frame_size), checksum,
+            window_cap=window_cap,
         )
         plans.append((plan, d_sizes))
         nseg_loc = max(nseg_loc, max((len(s) for s in plan.segments), default=1))
