@@ -1640,7 +1640,7 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
   // (ratio experiments; default 15).
   const int opt_e = zn_opt_entry();
   if (level >= 2) M.probe4 = true;
-  int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : (level >= 9 ? 8 : (level >= 7 ? 4 : 0))));
+  int depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : (level >= 9 ? 8 : (level >= 3 ? 4 : 0))));
   { const char* e = getenv("ZN_DEPTH"); if (e) depth = atoi(e); }
   if (depth) M.enable_chain(prefix_n + n);
   if (level >= opt_e) M.enable_bt(prefix_n + n, false);
@@ -1687,7 +1687,8 @@ extern "C" size_t zn_compress_frame(const u8* src, size_t n, u8* dst,
     seqs.clear();
     lits.clear();
     u32 reps_in[3] = {reps[0], reps[1], reps[2]};
-    int lazy = level >= 13 ? 3 : (level >= 7 ? 2 : (level >= 3 ? 1 : 0));
+    int lazy = level >= 13 ? 3 : (level >= 10 ? 2 : (level >= 3 ? 1 : 0));
+    { const char* e = getenv("ZN_LAZY"); if (e) lazy = atoi(e); }
 #ifdef ZN_ENCPROF
     unsigned long long _pt0 = __rdtsc();
 #endif
@@ -1849,7 +1850,7 @@ extern "C" void* zn_stream_new(int level, int checksum) {
   s->level = level;
   s->checksum = checksum;
   if (level >= 2) s->M.probe4 = true;
-  s->depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : (level >= 9 ? 8 : (level >= 7 ? 4 : 0))));
+  s->depth = level >= 19 ? 512 : level >= 17 ? 64 : (level >= 15 ? 24 : (level >= 13 ? 12 : (level >= 9 ? 8 : (level >= 3 ? 4 : 0))));
   if (s->depth) s->M.enable_chain(ZN_STREAM_DCAP);
   if (level >= 15) s->M.enable_bt(ZN_STREAM_DCAP, false);
   s->hist.reserve(1 << 20);
@@ -1889,7 +1890,7 @@ extern "C" i64 zn_stream_block(void* h, const u8* src, size_t n, u8* dst,
     seqs.clear();
     lits.clear();
     u32 reps_in[3] = {s->reps[0], s->reps[1], s->reps[2]};
-    int lazy = s->level >= 13 ? 3 : (s->level >= 7 ? 2 : (s->level >= 3 ? 1 : 0));
+    int lazy = s->level >= 13 ? 3 : (s->level >= 10 ? 2 : (s->level >= 3 ? 1 : 0));
     if (s->level >= 15)
       parse_block_opt(base, pos, n, s->M, s->reps, seqs, lits, s->depth);
     else if (s->level <= 1)
