@@ -172,13 +172,17 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
             ring_store(dst + 4, w1, 4)
 
         def copy_lits(src_q, dst, L):
-            # Fast path: runs of <= 8 bytes (the common case at low
-            # levels) are ONE unconditional 8-byte copy, no loop.
-            @pl.when(L <= 8)
+            # Fast path: runs of <= 16 bytes (the common case at low
+            # levels) are 1-2 unconditional 8-byte copies, no loop.
+            @pl.when(L <= 16)
             def _():
                 lits8(src_q, dst)
 
-            @pl.when(L > 8)
+                @pl.when(L > 8)
+                def _():
+                    lits8(src_q + 8, dst + 8)
+
+            @pl.when(L > 16)
             def _():
                 # 8 bytes per iteration (3 shared word reads, 2 stores);
                 # the 4-byte tail loop finishes the remainder.
@@ -219,11 +223,19 @@ def _build(WB: int, LITB: int, OUTB: int, NRECP: int, F: int, LW: int,
             """Self-referential copy of L bytes from dst-off; off >= 1.
             Offsets < 4 bootstrap by effective-offset doubling (the
             copied prefix becomes a longer-period source)."""
-            fast = (off >= 8) & (L <= 8)
+            # Fast path covers matches to 16 bytes at offsets >= 8: the
+            # second 8-byte copy's source never reaches the write cursor
+            # (reads at most dst+7 when off == 8, already written by the
+            # first copy — serial order makes overlapping reads exact).
+            fast = (off >= 8) & (L <= 16)
 
             @pl.when(fast)
             def _():
                 ring8(dst - off, dst)
+
+                @pl.when(L > 8)
+                def _():
+                    ring8(dst - off + 8, dst + 8)
 
             @pl.when(~fast)
             def _():
